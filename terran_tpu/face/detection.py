@@ -1,0 +1,153 @@
+"""Face-detection task API and the TPU RetinaFace wrapper.
+
+Mirrors the reference task layer (/root/reference/terran/face/detection/
+__init__.py) — same constructor signature, same call pipeline
+(resize_in -> merge_in -> model.call -> merge_out -> resize_out), same
+return contract of ``{'bbox', 'landmarks', 'score'}`` dicts — while the
+model wrapper replaces the reference's torch wrapper
+(/root/reference/terran/face/detection/retinaface/wrapper.py:92-238) with a
+fully fused jitted program per input shape: forward + anchor decode + masked
+NMS run on-device in one compilation, and only the final fixed-shape arrays
+cross back to the host.
+"""
+
+import numpy as np
+
+from terran_tpu.checkpoint import get_class_for_checkpoint, load_checkpoint_params
+from terran_tpu.models.retinaface import RetinaFace as RetinaFaceModel
+from terran_tpu.models.retinaface import make_detect_fn
+from terran_tpu.runtime import bucket_shape, default_policy
+from terran_tpu.utils.batching import merge_factory, resize_factory
+
+TASK_NAME = "face-detection"
+
+
+class RetinaFaceDetector:
+    """Jitted RetinaFace detection wrapper.
+
+    One compiled program is cached per distinct padded input shape; videos
+    (constant frame size) compile exactly once.
+    """
+
+    CHECKPOINT_CLASS = "terran_tpu.face.detection.RetinaFaceDetector"
+
+    def __init__(self, params=None, nms_threshold=0.4, top_k=256,
+                 bucketing="exact", compute_dtype=None, device=None):
+        if params is None:
+            params = load_checkpoint_params(self.CHECKPOINT_CLASS)
+        self.params = params
+        self.nms_threshold = nms_threshold
+        self.top_k = top_k
+        self.bucketing = bucketing
+        dtype = compute_dtype or default_policy().compute_dtype
+        self.model = RetinaFaceModel(compute_dtype=dtype)
+        self._detect_fns = {}
+
+    def _detect_fn(self, height, width):
+        key = (height, width)
+        if key not in self._detect_fns:
+            self._detect_fns[key] = make_detect_fn(
+                self.model, height, width,
+                nms_threshold=self.nms_threshold, top_k=self.top_k,
+            )
+        return self._detect_fns[key]
+
+    def call(self, images, threshold=0.5):
+        """Run detection on an (N, H, W, 3) uint8 RGB array.
+
+        Returns a list (per image) of lists of
+        ``{'bbox': (4,), 'landmarks': (5, 2), 'score': float32}`` dicts,
+        score-descending — the reference wrapper's exact contract
+        (wrapper.py:233-236).
+        """
+        images = np.asarray(images)
+        n, h, w = images.shape[:3]
+        bh, bw = bucket_shape(h, w, mode=self.bucketing)
+        if (bh, bw) != (h, w):
+            padded = np.zeros((n, bh, bw, 3), dtype=images.dtype)
+            padded[:, :h, :w] = images
+            images = padded
+
+        detect = self._detect_fn(bh, bw)
+        boxes, landmarks, scores, mask = detect(
+            self.params, images, threshold, w, h
+        )
+        boxes = np.asarray(boxes)
+        landmarks = np.asarray(landmarks)
+        scores = np.asarray(scores, dtype=np.float32)
+        mask = np.asarray(mask)
+
+        batch_objects = []
+        for i in range(n):
+            keep = mask[i]
+            batch_objects.append([
+                {"bbox": b, "landmarks": l, "score": s}
+                for b, l, s in zip(boxes[i][keep], landmarks[i][keep],
+                                   scores[i][keep])
+            ])
+        return batch_objects
+
+
+class Detection:
+    """Generic detection task (reference Detection,
+    face/detection/__init__.py:185-287)."""
+
+    def __init__(self, checkpoint=None, short_side=416, merge_method="padding",
+                 device=None, lazy=False, **model_kwargs):
+        self.device = device
+        self.checkpoint = checkpoint
+        self.model_kwargs = model_kwargs
+        self.detection_cls = get_class_for_checkpoint(TASK_NAME, checkpoint)
+
+        self.model = (
+            self.detection_cls(device=self.device, **model_kwargs)
+            if not lazy else None
+        )
+        self.resize_in, self.resize_out = resize_factory(short_side=short_side)
+        self.merge_in, self.merge_out = merge_factory(method=merge_method)
+
+    def __repr__(self):
+        return f"<Detection({self.detection_cls.__name__})>"
+
+    def __call__(self, images):
+        expanded = False
+        if (
+            not isinstance(images, (list, tuple))
+            and len(images.shape) == 3
+        ):
+            expanded = True
+            images = np.expand_dims(images, 0)
+
+        images, resize_params = self.resize_in(images)
+        images, merge_params = self.merge_in(images)
+
+        if self.model is None:
+            self.model = self.detection_cls(
+                device=self.device, **self.model_kwargs
+            )
+        out = self.model.call(images)
+
+        out = self.merge_out(out, merge_params)
+        out = self.resize_out(out, resize_params)
+
+        return out[0] if expanded else out
+
+
+class _LazyDetection:
+    """Import-time placeholder so `face_detection(image)` works like the
+    reference's lazy singleton (face/detection/__init__.py:290) without
+    touching the checkpoint store on import."""
+
+    _instance = None
+
+    def _resolve(self):
+        if self._instance is None:
+            self._instance = Detection(lazy=True)
+        return self._instance
+
+    def __call__(self, images):
+        return self._resolve()(images)
+
+
+face_detection = _LazyDetection()
+"""Default entry point to face detection."""

@@ -1,0 +1,117 @@
+"""Fixed-size masked non-maximum suppression, on device.
+
+TPU-native replacement for the ``torchvision.ops.nms`` C++/CUDA kernel used by
+the reference detector (/root/reference/terran/face/detection/retinaface/
+wrapper.py:4,228). XLA requires static shapes, so instead of returning a
+variable-length keep list we:
+
+1. pre-select the top-K candidates by score (``jax.lax.top_k``),
+2. run greedy suppression over the (K, K) IoU matrix with a ``fori_loop``,
+3. return fixed-shape outputs plus a validity mask.
+
+The greedy order (descending score) and the IoU definition match torchvision
+(`inter / (area_a + area_b - inter)`, widths computed without the +1), so the
+keep-set is identical to the reference whenever the true number of
+above-threshold candidates is <= K.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def iou_matrix(boxes_a, boxes_b):
+    """Pairwise IoU between two sets of boxes in (x1, y1, x2, y2) form.
+
+    boxes_a: (A, 4), boxes_b: (B, 4) -> (A, B) float32.
+    """
+    area_a = (boxes_a[:, 2] - boxes_a[:, 0]) * (boxes_a[:, 3] - boxes_a[:, 1])
+    area_b = (boxes_b[:, 2] - boxes_b[:, 0]) * (boxes_b[:, 3] - boxes_b[:, 1])
+
+    lt = jnp.maximum(boxes_a[:, None, :2], boxes_b[None, :, :2])  # (A, B, 2)
+    rb = jnp.minimum(boxes_a[:, None, 2:], boxes_b[None, :, 2:])  # (A, B, 2)
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+
+    union = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def nms_fixed(boxes, scores, iou_threshold, score_threshold=0.0, top_k=256):
+    """Greedy NMS with fixed-size outputs.
+
+    Parameters
+    ----------
+    boxes : (A, 4) float array, (x1, y1, x2, y2).
+    scores : (A,) float array.
+    iou_threshold : float, suppression threshold (reference default 0.4,
+        /root/reference/terran/face/detection/retinaface/wrapper.py:94).
+    score_threshold : float, candidates below it are masked out before NMS
+        (reference filters at 0.5 before sorting, wrapper.py:133,212).
+    top_k : int, static number of candidates to consider / return.
+
+    Returns
+    -------
+    (boxes, scores, keep_mask, order):
+        boxes (top_k, 4), scores (top_k,) sorted descending, keep_mask
+        (top_k,) bool marking survivors, order (top_k,) int32 indices into
+        the input arrays (meaningful where keep_mask is set).
+    """
+    scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
+    k = min(top_k, scores.shape[0])
+    top_scores, order = jax.lax.top_k(scores, k)
+    if k < top_k:
+        pad = top_k - k
+        top_scores = jnp.pad(top_scores, (0, pad), constant_values=-jnp.inf)
+        order = jnp.pad(order, (0, pad))
+    top_boxes = boxes[order]
+
+    valid = jnp.isfinite(top_scores)
+    ious = iou_matrix(top_boxes, top_boxes)
+
+    def body(i, suppressed):
+        # Candidate i survives iff not already suppressed (and valid); if it
+        # survives, it suppresses every lower-scored overlapping candidate.
+        keep_i = jnp.logical_not(suppressed[i]) & valid[i]
+        row = ious[i] > iou_threshold
+        later = jnp.arange(top_k) > i
+        return suppressed | (keep_i & row & later)
+
+    suppressed = jax.lax.fori_loop(0, top_k, body, jnp.zeros(top_k, bool))
+    keep = jnp.logical_not(suppressed) & valid
+
+    return top_boxes, top_scores, keep, order
+
+
+def nms_numpy_reference(boxes, scores, iou_threshold):
+    """O(n^2) numpy greedy NMS, used as the test oracle."""
+    import numpy as np
+
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    for idx in order:
+        if suppressed[idx]:
+            continue
+        keep.append(idx)
+        for jdx in order:
+            if jdx == idx or suppressed[jdx]:
+                continue
+            if scores[jdx] <= scores[idx]:
+                x1 = max(boxes[idx, 0], boxes[jdx, 0])
+                y1 = max(boxes[idx, 1], boxes[jdx, 1])
+                x2 = min(boxes[idx, 2], boxes[jdx, 2])
+                y2 = min(boxes[idx, 3], boxes[jdx, 3])
+                inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+                area_i = (boxes[idx, 2] - boxes[idx, 0]) * (
+                    boxes[idx, 3] - boxes[idx, 1]
+                )
+                area_j = (boxes[jdx, 2] - boxes[jdx, 0]) * (
+                    boxes[jdx, 3] - boxes[jdx, 1]
+                )
+                union = area_i + area_j - inter
+                if union > 0 and inter / union > iou_threshold:
+                    suppressed[jdx] = True
+    return np.array(keep, dtype=np.int64)

@@ -1,0 +1,99 @@
+"""Device/runtime substrate for the TPU-native framework.
+
+Replaces the reference's single global ``default_device`` (see
+``/root/reference/terran/defaults.py:1-5``) with JAX device discovery, a
+device-mesh abstraction for scaling batches across chips, and a central
+numerics policy (param/compute dtypes) used by every model.
+
+Design notes (TPU-first):
+- Everything model-side is jitted with static shapes; this module owns the
+  shape-bucketing policy used to keep the number of compiled programs bounded.
+- Multi-chip scaling is data-parallel over the frame/batch axis on a 1-D
+  ``data`` mesh (see ``terran_tpu/parallel/mesh.py``); the models here are
+  tiny (<=65M params), so DP over ICI is the honest strategy.
+"""
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+def available_devices():
+    """Return the list of JAX devices for the preferred platform."""
+    return jax.devices()
+
+
+def default_device():
+    """Return the default accelerator device (analogue of the reference's
+    ``default_device``, /root/reference/terran/defaults.py:3-5)."""
+    return jax.devices()[0]
+
+
+def platform():
+    """The platform string of the default device ('tpu', 'cpu', 'gpu')."""
+    return jax.devices()[0].platform
+
+
+def is_tpu():
+    return platform() in ("tpu", "axon")
+
+
+@dataclass(frozen=True)
+class Policy:
+    """Numerics policy for model execution.
+
+    ``param_dtype`` is the dtype weights are stored in; ``compute_dtype`` is
+    the dtype convolutions run in (bfloat16 uses the MXU at full rate).
+    Accuracy-critical reductions (softmax, embedding head) always accumulate
+    in float32.
+    """
+
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @staticmethod
+    def from_env():
+        compute = os.environ.get("TERRAN_TPU_COMPUTE_DTYPE", "bfloat16")
+        return Policy(compute_dtype=jnp.dtype(compute))
+
+
+_default_policy = None
+
+
+def default_policy():
+    global _default_policy
+    if _default_policy is None:
+        _default_policy = Policy.from_env()
+    return _default_policy
+
+
+def set_default_policy(policy):
+    global _default_policy
+    _default_policy = policy
+
+
+# ---------------------------------------------------------------------------
+# Shape bucketing
+# ---------------------------------------------------------------------------
+
+def round_up(x, multiple):
+    return -(-x // multiple) * multiple
+
+
+def bucket_shape(h, w, mode="exact", multiple=64):
+    """Return the (H, W) shape the jitted model will actually run at.
+
+    - ``exact``: run at the exact resized shape. JIT caches one program per
+      distinct shape; for video (fixed frame size) this means a single
+      compilation and bitwise parity with the reference pipeline.
+    - ``pad``: round H and W up to ``multiple`` so mixed-size image
+      directories share a small set of programs. Outputs falling into the
+      padded margin are masked out downstream.
+    """
+    if mode == "exact":
+        return h, w
+    elif mode == "pad":
+        return round_up(h, multiple), round_up(w, multiple)
+    raise ValueError(f"unknown bucketing mode: {mode}")

@@ -1,0 +1,124 @@
+"""Detection task API: resize/merge coordinate round-trips and end-to-end
+wrapper contract."""
+
+import numpy as np
+import pytest
+
+from terran_tpu.face.detection import Detection, RetinaFaceDetector
+from terran_tpu.utils.batching import merge_factory, resize_factory
+from terran_tpu.utils.convert import convert_retinaface
+from torch_oracle import random_retinaface_state_dict
+
+
+def test_resize_roundtrip_array(rng):
+    resize_in, resize_out = resize_factory(short_side=208)
+    images = rng.integers(0, 255, size=(2, 416, 624, 3), dtype=np.uint8)
+    resized, scales = resize_in(images)
+    assert resized.shape == (2, 208, 312, 3)
+    assert scales == 0.5
+
+    faces = [[{"bbox": np.array([10.0, 20.0, 30.0, 40.0]),
+               "landmarks": np.full((5, 2), 15.0), "score": 0.9}], []]
+    out = resize_out(faces, scales)
+    np.testing.assert_array_equal(out[0][0]["bbox"], [20, 40, 60, 80])
+    assert out[0][0]["bbox"].dtype == np.int32
+    np.testing.assert_array_equal(out[0][0]["landmarks"], np.full((5, 2), 30))
+    assert out[1] == []
+
+
+def test_resize_list_per_image_scales(rng):
+    resize_in, resize_out = resize_factory(short_side=100)
+    images = [
+        rng.integers(0, 255, size=(200, 300, 3), dtype=np.uint8),
+        rng.integers(0, 255, size=(400, 100, 3), dtype=np.uint8),
+    ]
+    resized, scales = resize_in(images)
+    assert resized[0].shape == (100, 150, 3)
+    assert resized[1].shape == (400, 100, 3)
+    assert scales == [0.5, 1.0]
+
+
+def test_merge_padding_roundtrip(rng):
+    merge_in, merge_out = merge_factory()
+    images = [
+        rng.integers(0, 255, size=(100, 150, 3), dtype=np.uint8),
+        rng.integers(0, 255, size=(120, 100, 3), dtype=np.uint8),
+    ]
+    merged, params = merge_in(images)
+    assert merged.shape == (2, 120, 150, 3)
+    assert params["merged"]
+    # Image 0 is padded by 10 top (ceil), 10 bottom, 0 sides.
+    pads0 = params["pads_per_image"][0]
+    assert pads0[0] == (10, 10) and pads0[1] == (0, 0)
+    # Image 1: 0 vertical, 25 both sides.
+    pads1 = params["pads_per_image"][1]
+    assert pads1[0] == (0, 0) and pads1[1] == (25, 25)
+    np.testing.assert_array_equal(merged[0, 10:110, 0:150], images[0])
+    np.testing.assert_array_equal(merged[1, :, 25:125], images[1])
+
+    faces = [
+        [{"bbox": np.array([5, 15, 20, 30]),
+          "landmarks": np.zeros((5, 2)), "score": 1.0}],
+        [{"bbox": np.array([30, 5, 50, 25]),
+          "landmarks": np.full((5, 2), 30.0), "score": 1.0}],
+    ]
+    out = merge_out(faces, params)
+    np.testing.assert_array_equal(out[0][0]["bbox"], [5, 5, 20, 20])
+    np.testing.assert_array_equal(out[1][0]["bbox"], [5, 5, 25, 25])
+    # Landmarks are (x, y); only x shifts by the 25px horizontal pad.
+    np.testing.assert_array_equal(
+        out[1][0]["landmarks"], np.tile([5.0, 30.0], (5, 1))
+    )
+
+
+def test_merge_noop_for_arrays(rng):
+    merge_in, merge_out = merge_factory()
+    images = rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8)
+    merged, params = merge_in(images)
+    assert merged is images and not params["merged"]
+    faces = [[], []]
+    assert merge_out(faces, params) is faces
+
+
+def test_merge_crop_not_implemented():
+    merge_in, _ = merge_factory(method="crop")
+    with pytest.raises(NotImplementedError):
+        merge_in([np.zeros((4, 4, 3), np.uint8)])
+
+
+@pytest.fixture(scope="module")
+def detector():
+    sd = random_retinaface_state_dict(np.random.default_rng(5))
+    params = convert_retinaface(sd)
+    return RetinaFaceDetector(params=params, top_k=64)
+
+
+def test_detection_end_to_end_contract(detector):
+    det = Detection.__new__(Detection)
+    det.device = None
+    det.model = detector
+    det.resize_in, det.resize_out = resize_factory(short_side=96)
+    det.merge_in, det.merge_out = merge_factory()
+
+    image = np.random.default_rng(6).integers(
+        0, 255, size=(192, 256, 3), dtype=np.uint8
+    )
+    faces = det(image)  # single image -> flat list
+    assert isinstance(faces, list)
+    for face in faces:
+        assert set(face) == {"bbox", "landmarks", "score"}
+        assert face["bbox"].shape == (4,)
+        assert face["bbox"].dtype == np.int32
+        assert face["landmarks"].shape == (5, 2)
+
+    batch = det([image, image[:128, :160]])
+    assert len(batch) == 2
+
+
+def test_detector_scores_sorted(detector):
+    images = np.random.default_rng(8).integers(
+        0, 255, size=(1, 96, 96, 3), dtype=np.uint8
+    )
+    out = detector.call(images, threshold=0.5)
+    scores = [f["score"] for f in out[0]]
+    assert scores == sorted(scores, reverse=True)

@@ -1,0 +1,65 @@
+"""Masked fixed-K NMS vs an O(n^2) numpy oracle."""
+
+import numpy as np
+
+from terran_tpu.ops.nms import iou_matrix, nms_fixed, nms_numpy_reference
+
+
+def random_boxes(rng, n, size=200.0):
+    xy = rng.uniform(0, size, size=(n, 2))
+    wh = rng.uniform(5, 60, size=(n, 2))
+    return np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+
+def test_iou_matrix_matches_naive(rng):
+    boxes = random_boxes(rng, 32)
+    got = np.asarray(iou_matrix(boxes, boxes))
+    for i in range(32):
+        for j in range(0, 32, 7):
+            x1 = max(boxes[i, 0], boxes[j, 0])
+            y1 = max(boxes[i, 1], boxes[j, 1])
+            x2 = min(boxes[i, 2], boxes[j, 2])
+            y2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0, x2 - x1) * max(0, y2 - y1)
+            a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            expected = inter / (a1 + a2 - inter)
+            assert abs(got[i, j] - expected) < 1e-5
+
+
+def test_nms_matches_oracle(rng):
+    for trial in range(5):
+        boxes = random_boxes(rng, 100)
+        scores = rng.uniform(0, 1, size=100).astype(np.float32)
+
+        kept_boxes, kept_scores, keep_mask, order = nms_fixed(
+            boxes, scores, 0.4, score_threshold=0.3, top_k=128
+        )
+        got = set(np.asarray(order)[np.asarray(keep_mask)].tolist())
+
+        valid = scores >= 0.3
+        expected_rel = nms_numpy_reference(boxes[valid], scores[valid], 0.4)
+        expected = set(np.flatnonzero(valid)[expected_rel].tolist())
+        assert got == expected
+
+
+def test_nms_scores_sorted_and_masked(rng):
+    boxes = random_boxes(rng, 50)
+    scores = rng.uniform(0, 1, size=50).astype(np.float32)
+    _, kept_scores, keep_mask, _ = nms_fixed(
+        boxes, scores, 0.4, score_threshold=0.99, top_k=64
+    )
+    kept_scores = np.asarray(kept_scores)
+    keep_mask = np.asarray(keep_mask)
+    # Above-0.99 candidates are rare; mask must reflect exactly those.
+    assert keep_mask.sum() == (scores >= 0.99).sum()
+    finite = kept_scores[np.isfinite(kept_scores)]
+    assert np.all(np.diff(finite) <= 1e-6)
+
+
+def test_nms_empty_input(rng):
+    boxes = random_boxes(rng, 10)
+    scores = np.zeros(10, np.float32)
+    _, _, keep_mask, _ = nms_fixed(boxes, scores, 0.4, score_threshold=0.5,
+                                   top_k=16)
+    assert not np.asarray(keep_mask).any()

@@ -1,0 +1,141 @@
+"""Similarity-transform estimation and on-device affine warping.
+
+Replaces the reference's face-alignment stack — skimage
+``SimilarityTransform.estimate`` + PIL ``Image.transform(AFFINE, BILINEAR)``
+(/root/reference/terran/face/recognition/arcface/wrapper.py:52-69) — with:
+
+- :func:`umeyama`: the closed-form least-squares similarity estimate
+  (Umeyama 1991, the algorithm skimage implements), host-side numpy on a
+  5-point problem.
+- :func:`warp_affine`: bilinear inverse-warp sampling on device, vmappable
+  over faces, matching PIL's sampling convention: the output pixel grid is
+  evaluated at pixel centres, i.e. ``src = M @ (dst + 0.5) - 0.5``, with
+  zero fill outside the source (PIL ``fillcolor=0``).
+
+This is the accuracy-critical piece for embedding parity: the aligned
+112x112 crops must match the reference's within interpolation rounding.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Canonical 5-landmark destination template for 112x112 alignment
+# (arcface/wrapper.py:39-48, including the +8px x-shift for width 112).
+ARCFACE_TEMPLATE = np.array(
+    [
+        [38.2946, 51.6963],
+        [73.5318, 51.5014],
+        [56.0252, 71.7366],
+        [41.5493, 92.3655],
+        [70.7299, 92.2041],
+    ],
+    dtype=np.float32,
+)
+
+
+def umeyama(src, dst):
+    """Least-squares similarity transform mapping ``src`` points to ``dst``.
+
+    Returns a (3, 3) matrix ``T`` with ``T @ [x, y, 1]^T ~= [x', y', 1]^T``.
+    Equivalent to skimage ``SimilarityTransform.estimate(src, dst)``.
+    """
+    src = np.asarray(src, dtype=np.float64)
+    dst = np.asarray(dst, dtype=np.float64)
+    n, d = src.shape
+
+    mu_src = src.mean(axis=0)
+    mu_dst = dst.mean(axis=0)
+    src_c = src - mu_src
+    dst_c = dst - mu_dst
+
+    cov = dst_c.T @ src_c / n
+    u, s, vt = np.linalg.svd(cov)
+
+    sign = np.ones(d)
+    if np.linalg.det(cov) < 0:
+        sign[-1] = -1
+    rank = np.linalg.matrix_rank(cov)
+    if rank == d - 1:
+        if np.linalg.det(u) * np.linalg.det(vt) < 0:
+            sign[-1] = -1
+    rotation = u @ np.diag(sign) @ vt
+
+    var_src = (src_c ** 2).sum() / n
+    scale = (s * sign).sum() / var_src if var_src > 0 else 1.0
+
+    t = np.eye(3)
+    t[:d, :d] = scale * rotation
+    t[:d, d] = mu_dst - scale * rotation @ mu_src
+    return t.astype(np.float32)
+
+
+def alignment_matrix(landmarks, template=ARCFACE_TEMPLATE):
+    """Inverse (output->input) 2x3 matrix aligning a face to the template.
+
+    The reference estimates landmarks->template and hands PIL the inverse
+    (wrapper.py:52-61); this returns that inverse directly.
+    """
+    forward = umeyama(np.asarray(landmarks, dtype=np.float32), template)
+    return np.linalg.inv(forward)[:2].astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def warp_affine(image, matrix, out_h=112, out_w=112):
+    """Bilinear inverse-warp of ``image`` (H, W, C) by a 2x3 matrix.
+
+    PIL convention: sample source at ``M @ (dst_idx + 0.5) - 0.5``; samples
+    outside the source rectangle contribute the fill value 0.
+    """
+    h, w = image.shape[0], image.shape[1]
+    ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(out_w, dtype=jnp.float32) + 0.5
+    xg, yg = jnp.meshgrid(xs, ys)  # (out_h, out_w)
+
+    # PIL (Geometry.c ImagingGenericTransform + bilinear filter) evaluates
+    # the transform at output pixel centres, does the inside test on the RAW
+    # coordinates in [0, size), and only then shifts by -0.5 and samples with
+    # neighbour taps clamped to the image rectangle (edge replication).
+    raw_x = matrix[0, 0] * xg + matrix[0, 1] * yg + matrix[0, 2]
+    raw_y = matrix[1, 0] * xg + matrix[1, 1] * yg + matrix[1, 2]
+    inside = (raw_x >= 0) & (raw_x < w) & (raw_y >= 0) & (raw_y < h)
+
+    src_x = raw_x - 0.5
+    src_y = raw_y - 0.5
+
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    fx = src_x - x0
+    fy = src_y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    img = image.astype(jnp.float32)
+
+    def sample(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        return img[yc, xc]  # (out_h, out_w, C)
+
+    v00 = sample(y0i, x0i)
+    v01 = sample(y0i, x0i + 1)
+    v10 = sample(y0i + 1, x0i)
+    v11 = sample(y0i + 1, x0i + 1)
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    out = top * (1 - fy) + bot * fy
+    return jnp.where(inside[..., None], out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def warp_affine_batch(image, matrices, out_h=112, out_w=112):
+    """Warp many crops out of one source image: matrices (K, 2, 3) ->
+    (K, out_h, out_w, C)."""
+    return jax.vmap(
+        lambda m: warp_affine(image, m, out_h=out_h, out_w=out_w)
+    )(matrices)

@@ -1,0 +1,81 @@
+"""Umeyama estimation and PIL-parity of the on-device affine warp."""
+
+import numpy as np
+from PIL import Image
+
+from terran_tpu.ops.warp import (
+    ARCFACE_TEMPLATE, alignment_matrix, umeyama, warp_affine,
+)
+
+
+def make_similarity(scale, angle, tx, ty):
+    c, s = np.cos(angle), np.sin(angle)
+    m = np.eye(3)
+    m[:2, :2] = scale * np.array([[c, -s], [s, c]])
+    m[:2, 2] = (tx, ty)
+    return m
+
+
+def test_umeyama_recovers_exact_transform(rng):
+    src = rng.uniform(0, 100, size=(5, 2))
+    truth = make_similarity(1.7, 0.3, 12.0, -5.0)
+    dst = (truth[:2, :2] @ src.T).T + truth[:2, 2]
+    est = umeyama(src, dst)
+    np.testing.assert_allclose(est, truth, atol=1e-4)
+
+
+def test_umeyama_least_squares_under_noise(rng):
+    src = rng.uniform(0, 100, size=(5, 2))
+    truth = make_similarity(0.8, -0.5, 3.0, 40.0)
+    dst = (truth[:2, :2] @ src.T).T + truth[:2, 2] + rng.normal(0, 0.5, (5, 2))
+    est = umeyama(src, dst)
+    # With 0.5px noise on 5 points the translation component can move by
+    # ~1px; assert the rotation/scale block tightly and translation loosely.
+    np.testing.assert_allclose(est[:2, :2], truth[:2, :2], atol=0.05)
+    np.testing.assert_allclose(est[:2, 2], truth[:2, 2], atol=2.0)
+
+
+def test_umeyama_reflection_guard(rng):
+    # Mirrored points must still produce a proper rotation (det=+1 block
+    # scaled), not a reflection with negative determinant scale sign flip
+    # breaking downstream warps.
+    src = rng.uniform(0, 100, size=(5, 2))
+    dst = src[:, ::-1]  # a swap = reflection-ish mapping
+    est = umeyama(src, dst)
+    block = est[:2, :2]
+    # scale^2 * det(R) with det(R) = +1 -> det(block) >= 0.
+    assert np.linalg.det(block) >= 0
+
+
+def test_warp_matches_pil(rng):
+    image = rng.integers(0, 255, size=(80, 60, 3), dtype=np.uint8)
+    for scale, angle, tx, ty in [
+        (1.0, 0.0, 0.0, 0.0),
+        (0.5, 0.2, 5.0, -3.0),
+        (2.0, -0.7, -10.0, 8.0),
+    ]:
+        inv = np.linalg.inv(make_similarity(scale, angle, tx, ty))[:2]
+        pil = Image.fromarray(image).transform(
+            size=(48, 56), method=Image.AFFINE, data=inv.flatten(),
+            resample=Image.BILINEAR, fillcolor=0,
+        )
+        expected = np.asarray(pil).astype(np.float32)
+        got = np.asarray(warp_affine(image, inv.astype(np.float32),
+                                     out_h=56, out_w=48))
+        # PIL rounds to uint8; allow 1 count of rounding difference, and
+        # compare interiors (PIL's border fill handling is pixel-exact too,
+        # but float rounding at exact edges can differ by one count).
+        # PIL rounds to uint8 while ours stays float: per-pixel difference is
+        # bounded by 1 count and averages ~0.25 over interior pixels.
+        assert np.abs(got - expected).max() <= 1.01
+        assert np.abs(got - expected).mean() < 0.5
+
+
+def test_alignment_matrix_maps_template_to_landmarks(rng):
+    # alignment_matrix returns the output->input map: applying it to the
+    # template must land on the detected landmarks.
+    truth = make_similarity(1.3, 0.4, 20.0, 30.0)
+    landmarks = (truth[:2, :2] @ ARCFACE_TEMPLATE.T).T + truth[:2, 2]
+    inv = alignment_matrix(landmarks)
+    back = (inv[:, :2] @ ARCFACE_TEMPLATE.T).T + inv[:, 2]
+    np.testing.assert_allclose(back, landmarks, atol=1e-2)

@@ -35,7 +35,11 @@ class RetinaFaceDetector:
                  bucketing="exact", compute_dtype=None, device=None):
         if params is None:
             params = load_checkpoint_params(self.CHECKPOINT_CLASS)
-        self.params = params
+        # Keep weights device-resident: converted params arrive as host numpy
+        # arrays, and feeding them to a jitted call re-uploads them over the
+        # host->HBM link every invocation (~2s/call for the larger models).
+        import jax
+        self.params = jax.device_put(params)
         self.nms_threshold = nms_threshold
         self.top_k = top_k
         self.bucketing = bucketing

@@ -65,7 +65,11 @@ class ArcFaceRecognizer:
                  image_side=112):
         if params is None:
             params = load_checkpoint_params(self.CHECKPOINT_CLASS)
-        self.params = params
+        # Keep weights device-resident: converted params arrive as host numpy
+        # arrays, and feeding them to a jitted call re-uploads them over the
+        # host->HBM link every invocation (~2s/call for the larger models).
+        import jax
+        self.params = jax.device_put(params)
         self.image_side = image_side
         dtype = compute_dtype or default_policy().compute_dtype
         self.model = FaceResNet100(compute_dtype=dtype)

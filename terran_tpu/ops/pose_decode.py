@@ -1,0 +1,179 @@
+"""On-device OpenPose decode: peak finding and PAF line-integral scoring.
+
+TPU-native replacement for the reference's per-image Python decode loop
+(/root/reference/terran/pose/openpose/wrapper.py:226-366), which ping-pongs
+between device tensors and host numpy per limb. Here the whole batch is
+decoded in one jitted program with fixed-size masked outputs:
+
+- **Peaks** (wrapper.py:235-262): 4-neighbour local maxima over each of the
+  18 part heatmaps, `>=` comparisons with a 1px interior margin and score
+  threshold, extracted into ``max_peaks`` slots per part in row-major order
+  (the reference's ``torch.nonzero`` order) with a validity mask.
+- **Limb scores** (wrapper.py:274-333): for all 19 limbs at once, the
+  10-midpoint line integral of the PAF field between every (src, dst) peak
+  pair, the length-regularised score, and the two acceptance criteria.
+
+The data-dependent greedy matching and human assembly remain on host
+(``terran_tpu.pose.assembly``) — they are tiny (K^2 per limb) and
+inherently sequential.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Limb topology tables for the CMU 2017 body model — public OpenPose
+# constants (reference copies at openpose/wrapper.py:12-23). ``MAP_IDX``
+# indexes PAF channel pairs (x, y) after the -19 offset; ``LIMBSEQ`` is
+# 1-based keypoint ids per limb.
+MAP_IDX = np.array([
+    [31, 32], [39, 40], [33, 34], [35, 36], [41, 42], [43, 44],
+    [19, 20], [21, 22], [23, 24], [25, 26], [27, 28], [29, 30],
+    [47, 48], [49, 50], [53, 54], [51, 52], [55, 56], [37, 38],
+    [45, 46],
+]) - 19
+
+LIMBSEQ = np.array([
+    [2, 3], [2, 6], [3, 4], [4, 5], [6, 7], [7, 8], [2, 9],
+    [9, 10], [10, 11], [2, 12], [12, 13], [13, 14], [2, 1],
+    [1, 15], [15, 17], [1, 16], [16, 18], [3, 17], [6, 18],
+]) - 1
+
+NUM_PARTS = 18
+NUM_LIMBS = 19
+NUM_MIDPOINTS = 10
+
+
+def find_peaks(heatmaps, threshold, max_peaks):
+    """Fixed-K local-maximum extraction per part.
+
+    heatmaps: (H, W, P) float. Returns (coords (P, K, 2) int32 as (y, x),
+    scores (P, K), valid (P, K) bool), peaks ordered row-major per part.
+    """
+    h, w, p = heatmaps.shape
+    hm = jnp.transpose(heatmaps, (2, 0, 1))  # (P, H, W)
+
+    interior = hm[:, 1:-1, 1:-1]
+    peaks = (
+        (interior >= hm[:, :-2, 1:-1])
+        & (interior >= hm[:, 1:-1, :-2])
+        & (interior >= hm[:, 2:, 1:-1])
+        & (interior >= hm[:, 1:-1, 2:])
+        & (interior >= threshold)
+    )
+    peaks = jnp.pad(peaks, ((0, 0), (1, 1), (1, 1)))  # back to (P, H, W)
+
+    flat = peaks.reshape(p, -1)
+    lin = jnp.arange(h * w, dtype=jnp.int32)
+    # Select masked positions in ascending row-major order via top_k on the
+    # negated linear index.
+    sel_score = jnp.where(flat, -lin[None, :].astype(jnp.float32), -jnp.inf)
+    top, idx = jax.lax.top_k(sel_score, max_peaks)  # (P, K)
+    valid = jnp.isfinite(top)
+
+    ys = idx // w
+    xs = idx % w
+    scores = jnp.take_along_axis(hm.reshape(p, -1), idx, axis=1)
+    coords = jnp.stack([ys, xs], axis=-1).astype(jnp.int32)
+    return coords, jnp.where(valid, scores, 0.0), valid
+
+
+def limb_scores(pafs, coords, valid, thresh_midpoint):
+    """Line-integral limb scoring for all limbs/pairs at once.
+
+    pafs: (H, W, 38); coords: (P, K, 2) int (y, x); valid: (P, K).
+    Returns (reg_scores (L, K, K), accept (L, K, K) bool) where ``accept``
+    combines the reference's two criteria and slot validity.
+    """
+    h, w, _ = pafs.shape
+    k = coords.shape[1]
+
+    src_parts = LIMBSEQ[:, 0]  # (L,)
+    dst_parts = LIMBSEQ[:, 1]
+
+    loc_src = coords[src_parts].astype(jnp.float32)  # (L, K, 2)
+    loc_dst = coords[dst_parts].astype(jnp.float32)
+    val_src = valid[src_parts]  # (L, K)
+    val_dst = valid[dst_parts]
+
+    # directions (L, K_src, K_dst, 2) in (dy, dx), like the reference's
+    # (y, x) peak coordinates (wrapper.py:296-301).
+    diff = loc_dst[:, None, :, :] - loc_src[:, :, None, :]
+    norms = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    safe_norms = jnp.maximum(norms, 1e-6)
+    dirs = diff / safe_norms[..., None]
+
+    # Segment sample points: linspace of NUM_MIDPOINTS between src and dst,
+    # truncated to int (torch .type(torch.long), wrapper.py:304-306; coords
+    # are non-negative so truncation == floor). Match torch.linspace's
+    # arithmetic — start + i * (stop - start)/(steps-1) in float32 — so the
+    # integer truncation lands on the same pixels.
+    steps = jnp.arange(NUM_MIDPOINTS, dtype=jnp.float32)
+    step_size = diff / (NUM_MIDPOINTS - 1)  # (L, K, K, 2)
+    seg = (
+        loc_src[:, :, None, None, :]
+        + step_size[:, :, :, None, :] * steps[None, None, None, :, None]
+    )  # (L, K, K, M, 2)
+    seg = seg.astype(jnp.int32)
+    seg_y = jnp.clip(seg[..., 0], 0, h - 1)
+    seg_x = jnp.clip(seg[..., 1], 0, w - 1)
+
+    # PAF channel pair per limb: MAP_IDX[l] = (x-channel, y-channel).
+    paf_x = jnp.transpose(pafs, (2, 0, 1))[MAP_IDX[:, 0]]  # (L, H, W)
+    paf_y = jnp.transpose(pafs, (2, 0, 1))[MAP_IDX[:, 1]]
+
+    flat_idx = seg_y * w + seg_x  # (L, K, K, M)
+    paf_x_flat = paf_x.reshape(NUM_LIMBS, -1)
+    paf_y_flat = paf_y.reshape(NUM_LIMBS, -1)
+    px = jax.vmap(lambda p, i: p[i])(
+        paf_x_flat, flat_idx.reshape(NUM_LIMBS, -1)
+    ).reshape(NUM_LIMBS, k, k, NUM_MIDPOINTS)
+    py = jax.vmap(lambda p, i: p[i])(
+        paf_y_flat, flat_idx.reshape(NUM_LIMBS, -1)
+    ).reshape(NUM_LIMBS, k, k, NUM_MIDPOINTS)
+
+    # midpoint score = paf_x * dx + paf_y * dy (direction flip,
+    # wrapper.py:308-315).
+    mid = px * dirs[..., 1][..., None] + py * dirs[..., 0][..., None]
+
+    # Length-regularised score (wrapper.py:320-323); the reference's
+    # pafs.shape[1] is the upsampled height H.
+    reg = mid.mean(axis=-1) + jnp.minimum(0.5 * h / safe_norms - 1.0, 0.0)
+
+    crit1 = (mid > thresh_midpoint).sum(axis=-1) > 0.8 * NUM_MIDPOINTS
+    crit2 = reg > 0
+    pair_valid = (
+        val_src[:, :, None] & val_dst[:, None, :] & (norms > 0)
+    )
+    accept = crit1 & crit2 & pair_valid
+    return reg, accept
+
+
+def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
+                     thresh_midpoint=0.05, max_peaks=32,
+                     downsampling_ratio=8):
+    """Build the jitted batched decode for a fixed preprocessed input shape.
+
+    Maps (params, images (N, H, W, 3) uint8/float RGB) to
+    (peak coords (N, P, K, 2), peak scores (N, P, K), peak valid (N, P, K),
+    limb reg scores (N, L, K, K), limb accept (N, L, K, K)).
+    """
+    from terran_tpu.ops.upsample import upsample_bicubic
+
+    @jax.jit
+    def decode(params, images):
+        x = images.astype(jnp.float32) / 255.0 - 0.5
+        paf, heat = model.apply({"params": params}, x.astype(model.compute_dtype))
+        paf = upsample_bicubic(paf.astype(jnp.float32), downsampling_ratio)
+        heat = upsample_bicubic(heat.astype(jnp.float32), downsampling_ratio)
+
+        def per_image(paf_i, heat_i):
+            coords, scores, valid = find_peaks(
+                heat_i[..., :NUM_PARTS], keypoint_threshold, max_peaks
+            )
+            reg, accept = limb_scores(paf_i, coords, valid, thresh_midpoint)
+            return coords, scores, valid, reg, accept
+
+        return jax.vmap(per_image)(paf, heat)
+
+    return decode

@@ -1,0 +1,86 @@
+"""TPU OpenPose wrapper: jitted forward + decode, host assembly.
+
+Replaces the reference wrapper (/root/reference/terran/pose/openpose/
+wrapper.py:166-485). One jitted program per input shape runs the CPM
+forward, x8 bicubic upsampling, peak finding, and all 19 limbs' PAF line
+integrals for the whole batch; only fixed-shape score/validity arrays come
+back to the host, where greedy matching and human assembly finish the job.
+"""
+
+import numpy as np
+
+from terran_tpu.checkpoint import load_checkpoint_params
+from terran_tpu.models.openpose import BodyPoseModel
+from terran_tpu.ops.pose_decode import make_pose_decode
+from terran_tpu.pose.assembly import assemble_humans, get_keypoints
+from terran_tpu.runtime import default_policy
+from terran_tpu.utils.batching import resize_factory
+
+
+class OpenPoseEstimator:
+
+    CHECKPOINT_CLASS = "terran_tpu.pose.openpose.OpenPoseEstimator"
+
+    def __init__(self, params=None, short_side=184, compute_dtype=None,
+                 device=None, max_peaks=32):
+        if params is None:
+            params = load_checkpoint_params(self.CHECKPOINT_CLASS)
+        # Keep weights device-resident: converted params arrive as host numpy
+        # arrays, and feeding them to a jitted call re-uploads them over the
+        # host->HBM link every invocation (~2s/call for the larger models).
+        import jax
+        self.params = jax.device_put(params)
+        self.short_side = short_side
+        self.max_peaks = max_peaks
+
+        # Thresholds (reference wrapper.py:177-180).
+        self.keypoint_threshold = 0.1
+        self.thresh_2 = 0.05
+        self.human_threshold = 0.4
+        self.downsampling_ratio = 8
+
+        dtype = compute_dtype or default_policy().compute_dtype
+        self.model = BodyPoseModel(compute_dtype=dtype)
+        self._decode_fns = {}
+        self._resize_in, _ = resize_factory(short_side=short_side)
+
+    def _decode_fn(self, height, width):
+        key = (height, width)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = make_pose_decode(
+                self.model, height, width,
+                keypoint_threshold=self.keypoint_threshold,
+                thresh_midpoint=self.thresh_2,
+                max_peaks=self.max_peaks,
+                downsampling_ratio=self.downsampling_ratio,
+            )
+        return self._decode_fns[key]
+
+    def call(self, images):
+        """Run pose estimation on an (N, H, W, 3) uint8 RGB batch.
+
+        Returns, per image, a list of ``{'keypoints': (18, 3) int32,
+        'score': float}`` dicts — the reference contract (wrapper.py:37-90).
+        """
+        images = np.asarray(images)
+        # The reference resizes inside the wrapper (wrapper.py:206), unlike
+        # detection; scale is uniform across the batch.
+        resized, scale = self._resize_in(images)
+        n, h, w = resized.shape[:3]
+
+        decode = self._decode_fn(h, w)
+        coords, scores, valid, reg, accept = decode(self.params, resized)
+        coords = np.asarray(coords)
+        scores = np.asarray(scores)
+        valid = np.asarray(valid)
+        reg = np.asarray(reg)
+        accept = np.asarray(accept)
+
+        batch_objects = []
+        for i in range(n):
+            peaks_by_id, humans = assemble_humans(
+                coords[i], scores[i], valid[i], reg[i], accept[i],
+                human_threshold=self.human_threshold,
+            )
+            batch_objects.append(get_keypoints(peaks_by_id, humans, scale))
+        return batch_objects

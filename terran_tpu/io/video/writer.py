@@ -1,0 +1,134 @@
+"""Background video writer over an ffmpeg subprocess.
+
+Port of the reference writer (/root/reference/terran/io/video/writer.py):
+frames — or deferred ``(render_fn, *args)`` pairs executed in the writer
+thread, overlapping visualization with device compute — are queued and
+piped to an ffmpeg encode process as rawvideo rgb24, emitted as yuv420p.
+"""
+
+import os
+import subprocess
+from queue import Queue
+from threading import Thread
+
+from terran_tpu.io.video import DEFAULT_WRITER_BUFFER_SIZE, VideoClosed
+
+
+def _frame_writer(queue, cmd, error_sink):
+    try:
+        proc = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        while True:
+            item = queue.get()
+            if item is None:
+                break
+            frame_or_func, *args = item
+            frame = (
+                frame_or_func(*args) if callable(frame_or_func)
+                else frame_or_func
+            )
+            proc.stdin.write(frame.tobytes())
+
+        proc.stdin.close()
+        # Let the encoder drain stdin and finalise the container before
+        # escalating (the reference terminates immediately, writer.py:36-40,
+        # which can truncate the tail of the file).
+        try:
+            proc.wait(timeout=10.0)
+        except subprocess.TimeoutExpired:
+            proc.terminate()
+            proc.wait(timeout=10.0)
+    except Exception as exc:  # surfaced on close()
+        error_sink.append(exc)
+
+
+class VideoWriter:
+    """Same construction surface as the reference (writer.py:43-88):
+    ``framerate`` / ``copy_format_from`` / ``size_hint``."""
+
+    def __init__(self, output_path, framerate=None, copy_format_from=None,
+                 size_hint=None, **kwargs):
+        self.output_path = os.path.expanduser(str(output_path))
+
+        if framerate is None and copy_format_from is None:
+            self.framerate = 30
+        elif framerate is None:
+            from terran_tpu.io.video.reader import Video, open_video
+
+            if not isinstance(copy_format_from, Video):
+                copy_format_from = open_video(copy_format_from)
+            self.framerate = copy_format_from.framerate
+        else:
+            self.framerate = framerate
+
+        self.size_hint = size_hint
+        self._thread = None
+        self._queue = None
+        self._errors = []
+        self._closed = False
+
+    def __del__(self):
+        if not getattr(self, "_closed", True):
+            self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
+
+    def _prepare_ffmpeg_cmd(self):
+        return [
+            "ffmpeg",
+            "-framerate", str(self.framerate),
+            "-f", "rawvideo",
+            "-pix_fmt", "rgb24",
+            "-s", f"{self.width}x{self.height}",
+            "-i", "pipe:",
+            "-pix_fmt", "yuv420p",
+            "-y", self.output_path,
+        ]
+
+    def write_frame(self, frame_or_func, *args):
+        """Queue a frame, or a render function + args to be executed in the
+        writer thread (ref writer.py:122-156)."""
+        if self._closed:
+            raise VideoClosed("The video has already been closed.")
+
+        if not self._thread:
+            if not self.size_hint:
+                frame = (
+                    frame_or_func(*args) if callable(frame_or_func)
+                    else frame_or_func
+                )
+                self.height, self.width = frame.shape[0:2]
+            else:
+                self.height, self.width = self.size_hint
+
+            cmd = self._prepare_ffmpeg_cmd()
+            self._queue = Queue(DEFAULT_WRITER_BUFFER_SIZE)
+            self._thread = Thread(
+                target=_frame_writer, args=(self._queue, cmd, self._errors)
+            )
+            self._thread.start()
+
+        self._queue.put((frame_or_func, *args))
+
+    def close(self):
+        if self._closed:
+            raise VideoClosed("The video has already been closed.")
+        if self._thread:
+            self._queue.put(None)
+            self._thread.join()
+        self._closed = True
+        if self._errors:
+            raise self._errors[0]
+
+
+def write_video(*args, **kwargs):
+    """Create a ``VideoWriter`` (ref writer.py:168-180)."""
+    return VideoWriter(*args, **kwargs)

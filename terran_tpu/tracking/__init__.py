@@ -1,0 +1,3 @@
+from terran_tpu.tracking.face import (  # noqa
+    FaceTracking, KalmanTracker, Sort, face_tracking,
+)

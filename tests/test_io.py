@@ -1,0 +1,206 @@
+"""I/O subsystem tests: stream parsing, reader thread, writer thread,
+synthetic source, device prefetch, image resolution. No ffmpeg binary is
+required — subprocess commands are swapped for python one-liners."""
+
+import sys
+from io import BytesIO
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from terran_tpu.io.image import resolve_images
+from terran_tpu.io.video import EndOfVideo, SyntheticVideo, VideoClosed
+from terran_tpu.io.video.prefetch import device_prefetch
+from terran_tpu.io.video.reader import (
+    Video, parse_timestamp, read_batch_from_stream,
+)
+from terran_tpu.io.video.writer import VideoWriter
+
+
+def test_parse_timestamp():
+    assert parse_timestamp("01:02:03") == 3723
+    assert parse_timestamp("00:00:05.5") == 5.5
+
+
+def test_read_batch_from_stream_full_short_empty():
+    w, h = 4, 3
+    frame = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stream = BytesIO(frame.tobytes() * 5)
+
+    batch = read_batch_from_stream(stream, w, h, 2)
+    assert batch.shape == (2, h, w, 3)
+    np.testing.assert_array_equal(batch[0], frame)
+
+    batch = read_batch_from_stream(stream, w, h, 2)
+    assert batch.shape == (2, h, w, 3)
+
+    # 1 frame left -> short batch.
+    batch = read_batch_from_stream(stream, w, h, 2)
+    assert batch.shape == (1, h, w, 3)
+
+    assert read_batch_from_stream(stream, w, h, 2) is None
+
+
+def test_read_batch_unbatched():
+    w, h = 4, 3
+    frame = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stream = BytesIO(frame.tobytes())
+    got = read_batch_from_stream(stream, w, h, None)
+    assert got.shape == (h, w, 3)
+
+
+FAKE_PROBE = {
+    "streams": [{
+        "codec_type": "video", "width": 8, "height": 6,
+        "avg_frame_rate": "10/1", "duration": "2.0",
+    }],
+    "format": {"duration": "2.0"},
+}
+
+
+def make_fake_video(monkeypatch, batch_size=4, num_frames=20, **kwargs):
+    """A Video whose 'ffmpeg' is a python process emitting raw frames."""
+    monkeypatch.setattr(
+        "terran_tpu.io.video.reader.ffmpeg_probe", lambda p, **kw: FAKE_PROBE
+    )
+    video = Video("/fake/video.mp4", batch_size=batch_size, **kwargs)
+    emit = (
+        "import sys\n"
+        f"data = bytes(range(256)) * (8 * 6 * 3 * {num_frames} // 256 + 1)\n"
+        f"sys.stdout.buffer.write(data[:8 * 6 * 3 * {num_frames}])\n"
+    )
+    monkeypatch.setattr(
+        video, "_prepare_ffmpeg_cmd", lambda: [sys.executable, "-c", emit]
+    )
+    return video
+
+
+def test_video_reader_end_to_end(monkeypatch):
+    video = make_fake_video(monkeypatch, batch_size=4, num_frames=10)
+    assert video.width == 8 and video.height == 6
+    assert video.framerate == 10
+    assert len(video) == 5  # ceil(2.0s * 10fps / 4)
+
+    batches = list(video)
+    assert [b.shape[0] for b in batches] == [4, 4, 2]
+    assert all(b.shape[1:] == (6, 8, 3) for b in batches)
+    video.close()
+
+
+def test_video_reader_close_midstream(monkeypatch):
+    video = make_fake_video(monkeypatch, batch_size=2, num_frames=100)
+    first = video.read_frames()
+    assert first.shape == (2, 6, 8, 3)
+    video.close()
+    with pytest.raises(EndOfVideo):
+        video.read_frames()
+    with pytest.raises(VideoClosed):
+        video.close()
+
+
+def test_video_reader_propagates_thread_errors(monkeypatch):
+    video = make_fake_video(monkeypatch, batch_size=2)
+    monkeypatch.setattr(
+        video, "_prepare_ffmpeg_cmd",
+        lambda: ["/nonexistent-binary-xyz"],
+    )
+    with pytest.raises(Exception):
+        video.read_frames()
+
+
+def test_video_reader_framerate_and_start_time(monkeypatch):
+    video = make_fake_video(
+        monkeypatch, batch_size=2, framerate=5, start_time="00:00:01"
+    )
+    assert video.framerate == 5
+    assert video.duration == 1.0  # 2.0s source - 1s start
+
+
+def test_video_missing_file_raises_value_error(monkeypatch):
+    with pytest.raises(ValueError, match="not found"):
+        Video("/definitely/not/here.mp4")
+
+
+def test_writer_deferred_render(tmp_path, monkeypatch):
+    out_raw = tmp_path / "sink.raw"
+    writer = VideoWriter(tmp_path / "out.mp4", framerate=10)
+    sink = (
+        "import sys, shutil\n"
+        f"shutil.copyfileobj(sys.stdin.buffer, open(r'{out_raw}', 'wb'))\n"
+    )
+    monkeypatch.setattr(
+        writer, "_prepare_ffmpeg_cmd",
+        lambda: [sys.executable, "-c", sink],
+    )
+
+    frame = np.full((6, 8, 3), 7, np.uint8)
+    rendered_in_thread = []
+
+    def render(base, offset):
+        rendered_in_thread.append(True)
+        return base + offset
+
+    writer.write_frame(frame)            # direct frame
+    writer.write_frame(render, frame, 1)  # deferred render in writer thread
+    writer.close()
+
+    data = out_raw.read_bytes()
+    assert len(data) == 2 * 6 * 8 * 3
+    got = np.frombuffer(data, np.uint8).reshape(2, 6, 8, 3)
+    np.testing.assert_array_equal(got[0], frame)
+    np.testing.assert_array_equal(got[1], frame + 1)
+    assert rendered_in_thread == [True]
+    with pytest.raises(VideoClosed):
+        writer.write_frame(frame)
+
+
+def test_writer_surfaces_encode_errors(tmp_path, monkeypatch):
+    writer = VideoWriter(tmp_path / "out.mp4", framerate=10)
+    monkeypatch.setattr(
+        writer, "_prepare_ffmpeg_cmd", lambda: ["/nonexistent-binary-xyz"]
+    )
+    writer.write_frame(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(Exception):
+        writer.close()
+
+
+def test_synthetic_video():
+    video = SyntheticVideo(width=32, height=16, num_frames=10, batch_size=4)
+    batches = list(video)
+    assert [b.shape for b in batches] == [
+        (4, 16, 32, 3), (4, 16, 32, 3), (2, 16, 32, 3)
+    ]
+    assert len(video) == 3
+    # Deterministic across instances.
+    v2 = SyntheticVideo(width=32, height=16, num_frames=10, batch_size=4)
+    np.testing.assert_array_equal(batches[0], v2.read_frames())
+
+
+def test_device_prefetch_preserves_order_and_content():
+    video = SyntheticVideo(width=16, height=8, num_frames=12, batch_size=4)
+    host_batches = list(
+        SyntheticVideo(width=16, height=8, num_frames=12, batch_size=4)
+    )
+    dev_batches = list(device_prefetch(video, depth=2))
+    assert len(dev_batches) == len(host_batches)
+    for dev, host in zip(dev_batches, host_batches):
+        np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_resolve_images_flushes_trailing_batch(tmp_path):
+    for i in range(5):
+        Image.fromarray(
+            np.zeros((4, 4, 3), np.uint8)
+        ).save(tmp_path / f"img{i}.png")
+    (tmp_path / "not-an-image.txt").write_text("hello")
+
+    batches = list(resolve_images(tmp_path, batch_size=2))
+    assert [len(b) for b in batches] == [2, 2, 1]  # trailing batch kept
+    flat = [p.name for b in batches for p in b]
+    assert sorted(flat) == [f"img{i}.png" for i in range(5)]
+
+    singles = list(resolve_images(tmp_path))
+    assert len(singles) == 5
+    assert all(isinstance(p, Path) for p in singles)

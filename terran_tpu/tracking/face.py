@@ -126,6 +126,12 @@ def associate_detections_to_trackers(faces, trackers, iou_threshold=0.3):
             np.arange(len(faces)),
             np.empty((0, 5), dtype=int),
         )
+    if not len(faces):
+        return (
+            np.empty((0, 2), dtype=int),
+            np.empty((0,), dtype=int),
+            np.arange(len(trackers)),
+        )
 
     # Vectorised IoU matrix (the reference's nested Python loop,
     # tracking/face.py:229-231, is O(faces x tracks) interpreter overhead

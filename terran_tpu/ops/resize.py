@@ -1,0 +1,60 @@
+"""On-device bilinear resize with OpenCV INTER_LINEAR semantics.
+
+The task APIs resize host-side via cv2 for bitwise parity with the
+reference (utils/batching.py). The fused video pipeline instead resizes on
+device so only the raw uint8 frames cross the host->HBM link (the link is
+the throughput bound; a 1080p frame is 6.2 MB, and shipping pre-resized
+copies would add ~20%).
+
+Semantics match cv2.INTER_LINEAR's geometry: ``src = (dst + 0.5) * (in /
+out) - 0.5`` with edge-clamped taps. cv2 computes in 2^-11 fixed point, so
+rounded uint8 outputs can differ by one count; the float values here are
+the exact bilinear interpolation. Implemented separably as two dense
+(out, in) weight matmuls — MXU-friendly, no gathers.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=64)
+def _axis_weights(in_size, out_size):
+    """Dense (out_size, in_size) bilinear interpolation matrix (numpy)."""
+    src = (np.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+    x0 = np.floor(src).astype(np.int64)
+    frac = src - x0
+    x0c = np.clip(x0, 0, in_size - 1)
+    x1c = np.clip(x0 + 1, 0, in_size - 1)
+
+    weights = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    # Accumulate (x0c may equal x1c at the edges).
+    np.add.at(weights, (rows, x0c), (1.0 - frac).astype(np.float32))
+    np.add.at(weights, (rows, x1c), frac.astype(np.float32))
+    return weights
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear(images, out_h, out_w):
+    """Resize (N, H, W, C) images to (N, out_h, out_w, C), float32 output."""
+    n, h, w, c = images.shape
+    wy = jnp.asarray(_axis_weights(h, out_h))  # (out_h, H)
+    wx = jnp.asarray(_axis_weights(w, out_w))  # (out_w, W)
+
+    x = images.astype(jnp.float32)
+    # Height: (out_h, H) @ (N, H, W*C) -> (N, out_h, W*C)
+    x = jnp.einsum("oh,nhk->nok", wy, x.reshape(n, h, w * c))
+    x = x.reshape(n, out_h, w, c)
+    # Width: (out_w, W) contracted against axis 2.
+    x = jnp.einsum("ow,nhwc->nhoc", wx, x)
+    return x
+
+
+def resized_shape(h, w, short_side):
+    """The (out_h, out_w, scale) the task APIs' resize produces
+    (utils/batching.py resize_factory)."""
+    scale = short_side / min(h, w)
+    return int(h * scale), int(w * scale), scale

@@ -139,3 +139,63 @@ def warp_affine_batch(image, matrices, out_h=112, out_w=112):
     return jax.vmap(
         lambda m: warp_affine(image, m, out_h=out_h, out_w=out_w)
     )(matrices)
+
+
+def umeyama_jax(src, dst):
+    """Jit-traceable Umeyama similarity estimate for a (5, 2) point set.
+
+    Same algorithm as :func:`umeyama` but in jnp so alignment matrices can
+    be computed inside a fused device pipeline (vmap over faces) instead of
+    round-tripping landmarks to the host. Returns the (3, 3) forward matrix.
+    """
+    n, d = src.shape
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+
+    mu_src = src.mean(axis=0)
+    mu_dst = dst.mean(axis=0)
+    src_c = src - mu_src
+    dst_c = dst - mu_dst
+
+    cov = dst_c.T @ src_c / n
+    u, s, vt = jnp.linalg.svd(cov)
+
+    # Reflection guard: flip the last singular direction when det(cov) < 0
+    # (the full-rank branch of the Umeyama sign correction; the rank-1
+    # degenerate case — collinear landmarks — is not meaningful for faces).
+    sign = jnp.where(
+        jnp.linalg.det(cov) < 0,
+        jnp.array([1.0, -1.0]),
+        jnp.array([1.0, 1.0]),
+    )
+    rotation = u @ jnp.diag(sign) @ vt
+
+    var_src = jnp.maximum((src_c ** 2).sum() / n, 1e-12)
+    scale = (s * sign).sum() / var_src
+
+    t = jnp.eye(3)
+    t = t.at[:d, :d].set(scale * rotation)
+    t = t.at[:d, d].set(mu_dst - scale * rotation @ mu_src)
+    return t
+
+
+def inverse_similarity(matrix3):
+    """Invert a (3, 3) similarity transform, returning the (2, 3) block the
+    warp consumes. jit-traceable."""
+    a = matrix3[:2, :2]
+    t = matrix3[:2, 2]
+    inv_a = jnp.linalg.inv(a)
+    return jnp.concatenate([inv_a, (-inv_a @ t)[:, None]], axis=1)
+
+
+def alignment_matrices_jax(landmarks, template=None):
+    """(K, 5, 2) landmarks -> (K, 2, 3) output->input alignment matrices,
+    fully on device (vmapped umeyama + inversion)."""
+    if template is None:
+        template = ARCFACE_TEMPLATE
+    template = jnp.asarray(template)
+
+    def one(lmk):
+        return inverse_similarity(umeyama_jax(lmk, template))
+
+    return jax.vmap(one)(landmarks)

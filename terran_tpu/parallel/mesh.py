@@ -1,0 +1,66 @@
+"""Device mesh + sharding layer: the framework's scale-out story.
+
+The reference is strictly single-device (no torch.distributed anywhere; see
+SURVEY §2). The TPU-native equivalent is data parallelism over the
+frame/batch axis on a 1-D ``data`` mesh: models here are tiny (<=65M
+params), so weights are replicated and batches are sharded; XLA inserts
+the (trivially few) collectives and the work rides ICI within a slice.
+Multi-host deployments initialise ``jax.distributed`` and feed per-host
+shards from per-host readers; this module only ever sees the local mesh.
+
+Every jitted step in ``terran_tpu.pipeline`` accepts an optional mesh and
+becomes multi-chip without further change; batches are padded up to a
+multiple of the mesh size host-side.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices=None, axis_name=DATA_AXIS, devices=None):
+    """A 1-D mesh over the first ``num_devices`` local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested {num_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name=DATA_AXIS):
+    """Shard the leading (batch/frame) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh):
+    """Full replication (used for model parameters)."""
+    return NamedSharding(mesh, P())
+
+
+def pad_batch_to_multiple(batch, multiple):
+    """Pad the leading axis up to a multiple (repeating the last element so
+    padded work is realistic); returns (padded, valid_count)."""
+    n = batch.shape[0]
+    remainder = n % multiple
+    if remainder == 0:
+        return batch, n
+    pad = multiple - remainder
+    filler = np.repeat(batch[-1:], pad, axis=0)
+    return np.concatenate([batch, filler], axis=0), n
+
+
+def shard_params(params, mesh):
+    """Replicate a parameter pytree across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.device_put(params, sharding)
+
+
+def shard_batch(batch, mesh):
+    """Place a host batch with the leading axis split across the mesh."""
+    return jax.device_put(batch, batch_sharding(mesh))

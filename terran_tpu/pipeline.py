@@ -1,0 +1,311 @@
+"""Fused full-perception pipeline: detect + align + embed + pose, on device.
+
+This is the framework's high-throughput video path (BASELINE config 5:
+detect+embed+pose over concurrent 1080p streams). Where the reference runs
+five host<->device round trips per batch (detection forward, NMS output
+download, per-face host alignment, embedding upload/download, pose decode
+loop — see SURVEY §3), here TWO jitted programs run per batch:
+
+1. ``perception_step``: RetinaFace forward + anchor decode + masked NMS,
+   landmark rescale + rounding, on-device Umeyama alignment + bilinear
+   warps from the full-resolution frames, and the ArcFace embedding of the
+   top-``max_faces`` crops — one compilation, zero host round trips.
+2. ``pose decode`` (``terran_tpu.ops.pose_decode``): CPM forward + bicubic
+   upsample + peak finding + PAF integrals.
+
+Only fixed-shape result arrays return to the host (boxes, landmarks,
+scores, masks, embeddings, pose peak/limb tables), where the tiny
+sequential stages (pose human assembly, SORT tracking) finish.
+
+With a mesh (``terran_tpu.parallel.mesh``), both programs shard the frame
+axis across chips; parameters are replicated.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from terran_tpu.models.arcface import FaceResNet100, normalize_embeddings
+from terran_tpu.models.openpose import BodyPoseModel
+from terran_tpu.models.retinaface import (
+    RetinaFace, anchors_for_shape, decode_outputs,
+)
+from terran_tpu.ops.nms import nms_fixed
+from terran_tpu.ops.resize import resize_bilinear, resized_shape
+from terran_tpu.ops.pose_decode import NUM_PARTS, find_peaks, limb_scores
+from terran_tpu.ops.upsample import upsample_bicubic
+from terran_tpu.ops.warp import alignment_matrices_jax, warp_affine_batch
+from terran_tpu.parallel.mesh import (
+    batch_sharding, pad_batch_to_multiple, replicated_sharding,
+)
+from terran_tpu.pose.assembly import assemble_humans, get_keypoints
+from terran_tpu.runtime import default_policy
+
+
+class PerceptionPipeline:
+    """End-to-end detect+embed+pose over frame batches.
+
+    Parameters default to the checkpoint store; pass explicit params for
+    testing. ``mesh`` turns on data-parallel execution over the frame axis.
+    """
+
+    def __init__(self, det_params=None, rec_params=None, pose_params=None,
+                 det_short_side=416, pose_short_side=184, threshold=0.5,
+                 nms_threshold=0.4, top_k=128, max_faces=16, max_peaks=32,
+                 compute_dtype=None, mesh=None, with_pose=True,
+                 with_embeddings=True):
+        from terran_tpu.checkpoint import load_checkpoint_params
+
+        if det_params is None:
+            det_params = load_checkpoint_params(
+                "terran_tpu.face.detection.RetinaFaceDetector"
+            )
+        if rec_params is None and with_embeddings:
+            rec_params = load_checkpoint_params(
+                "terran_tpu.face.recognition.ArcFaceRecognizer"
+            )
+        if pose_params is None and with_pose:
+            pose_params = load_checkpoint_params(
+                "terran_tpu.pose.openpose.OpenPoseEstimator"
+            )
+
+        self.mesh = mesh
+        self.det_short_side = det_short_side
+        self.pose_short_side = pose_short_side
+        self.threshold = threshold
+        self.nms_threshold = nms_threshold
+        self.top_k = top_k
+        self.max_faces = max_faces
+        self.max_peaks = max_peaks
+        self.with_pose = with_pose
+        self.with_embeddings = with_embeddings
+
+        dtype = compute_dtype or default_policy().compute_dtype
+        self.det_model = RetinaFace(compute_dtype=dtype)
+        self.rec_model = FaceResNet100(compute_dtype=dtype)
+        self.pose_model = BodyPoseModel(compute_dtype=dtype)
+
+        if mesh is not None:
+            put = lambda p: jax.device_put(p, replicated_sharding(mesh))
+        else:
+            put = jax.device_put
+        self.det_params = put(det_params)
+        self.rec_params = (
+            put(rec_params) if rec_params is not None else None
+        )
+        self.pose_params = (
+            put(pose_params) if pose_params is not None else None
+        )
+
+        self._step_fns = {}
+        self._pose_fns = {}
+
+        # Pose thresholds (reference openpose/wrapper.py:177-180).
+        self.keypoint_threshold = 0.1
+        self.thresh_midpoint = 0.05
+        self.human_threshold = 0.4
+
+    # ------------------------------------------------------------------
+    # Jitted programs
+    # ------------------------------------------------------------------
+
+    def _sharding_kwargs(self, num_batch_args, num_param_args):
+        if self.mesh is None:
+            return {}
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        return {
+            "in_shardings": (rep,) * num_param_args + (data,) * num_batch_args,
+            "out_shardings": data,
+        }
+
+    def _perception_fn(self, full_h, full_w):
+        key = (full_h, full_w)
+        if key in self._step_fns:
+            return self._step_fns[key]
+
+        det_h, det_w, det_scale = resized_shape(
+            full_h, full_w, self.det_short_side
+        )
+        anchors = anchors_for_shape(det_h, det_w)
+        top_k = self.top_k
+        max_faces = self.max_faces
+        inv_scale = 1.0 / det_scale
+        with_embeddings = self.with_embeddings and self.rec_params is not None
+
+        def step(det_params, rec_params, frames_full):
+            # Resize on device; only the raw uint8 frames crossed the link.
+            # Round to match the reference's uint8 cv2 resize output.
+            frames_det = jnp.round(resize_bilinear(frames_full, det_h, det_w))
+            outputs = self.det_model.apply(
+                {"params": det_params},
+                frames_det.astype(self.det_model.compute_dtype),
+            )
+            scores, boxes, landmarks = decode_outputs(outputs, anchors)
+
+            def per_image_nms(s, b, l):
+                kb, ks, keep, order = nms_fixed(
+                    b, s, self.nms_threshold,
+                    score_threshold=self.threshold, top_k=top_k,
+                )
+                return kb, l[order], ks, keep
+
+            boxes, landmarks, scores, mask = jax.vmap(per_image_nms)(
+                scores, boxes, landmarks
+            )
+
+            # Coordinates back to full resolution with the task API's
+            # rounding semantics (resize_out: around().astype(int32),
+            # face/detection/__init__.py:73-78).
+            boxes_full = jnp.round(boxes * inv_scale).astype(jnp.int32)
+            lmk_full = jnp.round(landmarks * inv_scale).astype(jnp.int32)
+
+            result = {
+                "boxes": boxes_full,
+                "landmarks": lmk_full,
+                "scores": scores,
+                "mask": mask,
+            }
+
+            if with_embeddings:
+                lmk_top = lmk_full[:, :max_faces].astype(jnp.float32)
+                mats = jax.vmap(alignment_matrices_jax)(lmk_top)
+                crops = jax.vmap(
+                    lambda img, m: warp_affine_batch(img, m)
+                )(frames_full, mats)  # (B, F, 112, 112, 3)
+                crops = jnp.round(crops)  # match the reference's uint8 warp
+
+                b = crops.shape[0]
+                flat = crops.reshape((-1,) + crops.shape[2:])
+                feats = self.rec_model.apply(
+                    {"params": rec_params},
+                    flat.astype(self.rec_model.compute_dtype),
+                )
+                feats = normalize_embeddings(feats.astype(jnp.float32))
+                feats = feats.reshape(b, max_faces, -1)
+                emb_mask = mask[:, :max_faces]
+                result["embeddings"] = jnp.where(
+                    emb_mask[..., None], feats, 0.0
+                )
+                result["embeddings_mask"] = emb_mask
+
+            return result
+
+        step = jax.jit(step, **self._sharding_kwargs(
+            num_batch_args=1, num_param_args=2,
+        ))
+        self._step_fns[key] = step
+        return step
+
+    def _pose_fn(self, full_h, full_w):
+        key = (full_h, full_w)
+        if key in self._pose_fns:
+            return self._pose_fns[key]
+
+        pose_h, pose_w, _ = resized_shape(
+            full_h, full_w, self.pose_short_side
+        )
+
+        def decode(pose_params, frames_full):
+            frames_pose = jnp.round(
+                resize_bilinear(frames_full, pose_h, pose_w)
+            )
+            x = frames_pose.astype(jnp.float32) / 255.0 - 0.5
+            paf, heat = self.pose_model.apply(
+                {"params": pose_params},
+                x.astype(self.pose_model.compute_dtype),
+            )
+            paf = upsample_bicubic(paf.astype(jnp.float32), 8)
+            heat = upsample_bicubic(heat.astype(jnp.float32), 8)
+
+            def per_image(paf_i, heat_i):
+                coords, scores, valid = find_peaks(
+                    heat_i[..., :NUM_PARTS], self.keypoint_threshold,
+                    self.max_peaks,
+                )
+                reg, accept = limb_scores(
+                    paf_i, coords, valid, self.thresh_midpoint
+                )
+                return coords, scores, valid, reg, accept
+
+            return jax.vmap(per_image)(paf, heat)
+
+        decode = jax.jit(decode, **self._sharding_kwargs(
+            num_batch_args=1, num_param_args=1,
+        ))
+        self._pose_fns[key] = decode
+        return decode
+
+    # ------------------------------------------------------------------
+    # Host orchestration
+    # ------------------------------------------------------------------
+
+    def put_frames(self, frames):
+        """Single host->HBM upload of a frame batch (sharded under a
+        mesh). Accepts arrays already on device unchanged."""
+        if hasattr(frames, "addressable_shards") or hasattr(frames, "device"):
+            if not isinstance(frames, np.ndarray):
+                return frames
+        if self.mesh is not None:
+            return jax.device_put(frames, batch_sharding(self.mesh))
+        return jax.device_put(frames)
+
+    def process_batch(self, frames):
+        """Run the full pipeline on an (N, H, W, 3) uint8 RGB batch.
+
+        Returns a dict of device arrays (faces/embeddings) and, when pose is
+        enabled, the per-image assembled pose dicts.
+        """
+        frames = np.asarray(frames)
+        n = frames.shape[0]
+        if self.mesh is not None:
+            frames, n = pad_batch_to_multiple(frames, self.mesh.size)
+
+        full_h, full_w = frames.shape[1:3]
+        frames_dev = self.put_frames(frames)
+
+        step = self._perception_fn(full_h, full_w)
+        out = dict(step(self.det_params, self.rec_params, frames_dev))
+        # Start result transfers while the pose program runs.
+        for v in out.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+
+        if self.with_pose and self.pose_params is not None:
+            _, _, pose_scale = resized_shape(
+                full_h, full_w, self.pose_short_side
+            )
+            decode = self._pose_fn(full_h, full_w)
+            coords, scores, valid, reg, accept = map(
+                np.asarray, decode(self.pose_params, frames_dev)
+            )
+            poses = []
+            for i in range(n):
+                peaks_by_id, humans = assemble_humans(
+                    coords[i], scores[i], valid[i], reg[i], accept[i],
+                    human_threshold=self.human_threshold,
+                )
+                poses.append(get_keypoints(peaks_by_id, humans, pose_scale))
+            out["poses"] = poses
+
+        # Trim mesh padding.
+        for key in ("boxes", "landmarks", "scores", "mask", "embeddings",
+                    "embeddings_mask"):
+            if key in out:
+                out[key] = np.asarray(out[key])[:n]
+        return out
+
+    def faces_from(self, out):
+        """Convert step outputs to the task-API list-of-dicts contract."""
+        faces = []
+        mask = out["mask"]
+        for i in range(mask.shape[0]):
+            keep = mask[i]
+            faces.append([
+                {"bbox": b, "landmarks": l, "score": s}
+                for b, l, s in zip(
+                    out["boxes"][i][keep], out["landmarks"][i][keep],
+                    out["scores"][i][keep],
+                )
+            ])
+        return faces

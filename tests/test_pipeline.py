@@ -1,0 +1,136 @@
+"""Fused pipeline, device resize, JAX umeyama, and mesh sharding tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from cv2 import INTER_LINEAR, resize as cv2_resize
+
+from terran_tpu.ops.resize import resize_bilinear, resized_shape
+from terran_tpu.ops.warp import (
+    ARCFACE_TEMPLATE, alignment_matrix, alignment_matrices_jax, umeyama,
+    umeyama_jax,
+)
+from terran_tpu.parallel.mesh import (
+    create_mesh, pad_batch_to_multiple, shard_batch,
+)
+from terran_tpu.pipeline import PerceptionPipeline
+from terran_tpu.utils.convert import (
+    convert_arcface, convert_openpose, convert_retinaface,
+)
+from torch_oracle import (
+    random_arcface_state_dict, random_openpose_state_dict,
+    random_retinaface_state_dict,
+)
+
+
+def test_resize_bilinear_matches_cv2(rng):
+    image = rng.integers(0, 255, (1, 64, 96, 3), dtype=np.uint8)
+    out_h, out_w, _ = resized_shape(64, 96, 40)
+    got = np.asarray(resize_bilinear(jnp.asarray(image), out_h, out_w))
+    expected = cv2_resize(
+        image[0], (out_w, out_h), interpolation=INTER_LINEAR
+    ).astype(np.float32)
+    # cv2 runs 2^-11 fixed point and rounds to uint8; one count tolerance.
+    assert np.abs(got[0] - expected).max() <= 1.0
+
+
+def test_resize_bilinear_identity(rng):
+    image = rng.integers(0, 255, (2, 16, 24, 3), dtype=np.uint8)
+    got = np.asarray(resize_bilinear(jnp.asarray(image), 16, 24))
+    np.testing.assert_allclose(got, image.astype(np.float32), atol=1e-4)
+
+
+def test_umeyama_jax_matches_numpy(rng):
+    for _ in range(5):
+        lmk = rng.uniform(10, 200, size=(5, 2)).astype(np.float32)
+        expected = umeyama(lmk, ARCFACE_TEMPLATE)
+        got = np.asarray(umeyama_jax(jnp.asarray(lmk),
+                                     jnp.asarray(ARCFACE_TEMPLATE)))
+        np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_alignment_matrices_jax_matches_host(rng):
+    lmks = rng.uniform(10, 200, size=(4, 5, 2)).astype(np.float32)
+    got = np.asarray(alignment_matrices_jax(jnp.asarray(lmks)))
+    for k in range(4):
+        expected = alignment_matrix(lmks[k])
+        np.testing.assert_allclose(got[k], expected, rtol=1e-3, atol=1e-2)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline_params():
+    rng = np.random.default_rng(33)
+    return (
+        convert_retinaface(random_retinaface_state_dict(rng)),
+        convert_arcface(random_arcface_state_dict(rng)),
+        convert_openpose(random_openpose_state_dict(rng)),
+    )
+
+
+def _make_pipeline(params, mesh=None):
+    det, rec, pose = params
+    return PerceptionPipeline(
+        det_params=det, rec_params=rec, pose_params=pose,
+        det_short_side=64, pose_short_side=48, top_k=16, max_faces=4,
+        max_peaks=8, mesh=mesh,
+    )
+
+
+def test_pipeline_single_device(tiny_pipeline_params, rng):
+    pipe = _make_pipeline(tiny_pipeline_params)
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out = pipe.process_batch(frames)
+    assert out["boxes"].shape == (2, 16, 4)
+    assert out["boxes"].dtype == np.int32
+    assert out["landmarks"].shape == (2, 16, 5, 2)
+    assert out["embeddings"].shape == (2, 4, 512)
+    assert len(out["poses"]) == 2
+    faces = pipe.faces_from(out)
+    assert len(faces) == 2
+    for face in faces[0]:
+        assert set(face) == {"bbox", "landmarks", "score"}
+
+
+def test_pipeline_mesh_matches_single_device(tiny_pipeline_params, rng):
+    frames = rng.integers(0, 255, (8, 96, 128, 3), dtype=np.uint8)
+    single = _make_pipeline(tiny_pipeline_params).process_batch(frames)
+    mesh = create_mesh(8)
+    sharded = _make_pipeline(tiny_pipeline_params, mesh=mesh).process_batch(
+        frames
+    )
+    np.testing.assert_array_equal(single["mask"], sharded["mask"])
+    np.testing.assert_array_equal(single["boxes"], sharded["boxes"])
+    np.testing.assert_allclose(
+        single["scores"], sharded["scores"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        single["embeddings"], sharded["embeddings"], atol=2e-4
+    )
+
+
+def test_pipeline_mesh_pads_partial_batches(tiny_pipeline_params, rng):
+    mesh = create_mesh(8)
+    pipe = _make_pipeline(tiny_pipeline_params, mesh=mesh)
+    frames = rng.integers(0, 255, (3, 96, 128, 3), dtype=np.uint8)
+    out = pipe.process_batch(frames)
+    assert out["boxes"].shape[0] == 3  # trimmed back to the true count
+    assert len(out["poses"]) == 3
+
+
+def test_pad_batch_to_multiple():
+    batch = np.arange(3 * 2).reshape(3, 2)
+    padded, n = pad_batch_to_multiple(batch, 4)
+    assert n == 3 and padded.shape == (4, 2)
+    np.testing.assert_array_equal(padded[3], batch[2])
+    same, n2 = pad_batch_to_multiple(batch, 3)
+    assert same is batch and n2 == 3
+
+
+def test_shard_batch_places_across_devices(rng):
+    mesh = create_mesh(8)
+    batch = rng.normal(size=(16, 4)).astype(np.float32)
+    sharded = shard_batch(batch, mesh)
+    assert len(sharded.addressable_shards) == 8
+    assert sharded.addressable_shards[0].data.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(sharded), batch)

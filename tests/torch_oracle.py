@@ -187,7 +187,7 @@ def retinaface_forward(sd, images_bgr_nchw):
     for stride, feat in ((32, c32), (16, c16), (8, c8)):
         cls = _conv(feat, sd, f"outputs.cls_stride{stride}", bias=True)
         n, a, h, w = cls.shape
-        cls = F.softmax(cls.view(n, 2, -1, w), dim=1).view(n, a, h, w)
+        cls = F.softmax(cls.reshape(n, 2, -1, w), dim=1).reshape(n, a, h, w)
         box = _conv(feat, sd, f"outputs.bbox_stride{stride}", bias=True)
         lmk = _conv(feat, sd, f"outputs.landmark_stride{stride}", bias=True)
         outs.extend([cls, box, lmk])

@@ -1,0 +1,83 @@
+"""Central configuration: every threshold, capacity, and default in one place.
+
+The reference scatters its knobs across constructor kwargs and module
+constants (SURVEY §5 'config/flag system'): detection short_side 416
+(face/detection/__init__.py:188), pose short_side 184 (pose/__init__.py:134),
+NMS IoU 0.4 (retinaface/wrapper.py:94), score threshold 0.5 (wrapper.py:133),
+pose thresholds 0.1/0.05/0.4 (openpose/wrapper.py:177-180), reader prefetch 1
+batch / writer buffer 64 frames (io/video/__init__.py:6-9), recognition crop
+112 (arcface/wrapper.py:104), TERRAN_HOME env override (checkpoint.py:118).
+
+Here they live in one frozen dataclass with environment overrides
+(``TERRAN_TPU_<FIELD>``), while the task-class kwargs keep working exactly
+like the reference's for per-instance tuning.
+"""
+
+import os
+from dataclasses import dataclass, fields
+
+
+@dataclass(frozen=True)
+class Config:
+    # Task defaults (reference-compatible).
+    detection_short_side: int = 416
+    pose_short_side: int = 184
+    recognition_crop_side: int = 112
+
+    # Detection decode.
+    detection_threshold: float = 0.5
+    nms_iou_threshold: float = 0.4
+    detection_top_k: int = 256
+
+    # Pose decode.
+    keypoint_threshold: float = 0.1
+    paf_midpoint_threshold: float = 0.05
+    human_score_threshold: float = 0.4
+    max_peaks_per_part: int = 32
+
+    # Fused pipeline capacities.
+    pipeline_top_k: int = 128
+    pipeline_max_faces: int = 16
+
+    # I/O buffering.
+    reader_buffer_batches: int = 1
+    writer_buffer_frames: int = 64
+    device_prefetch_depth: int = 2
+
+    # Numerics.
+    compute_dtype: str = "bfloat16"
+
+    # Shape policy: 'exact' (one program per shape) or 'pad' (64px buckets).
+    bucketing: str = "exact"
+
+
+def _coerce(value, target_type):
+    if target_type is bool:
+        return value.lower() in ("1", "true", "yes")
+    return target_type(value)
+
+
+def load_config(env=None):
+    """Build a Config, applying ``TERRAN_TPU_<FIELD>`` env overrides."""
+    env = os.environ if env is None else env
+    overrides = {}
+    for field in fields(Config):
+        key = f"TERRAN_TPU_{field.name.upper()}"
+        if key in env:
+            overrides[field.name] = _coerce(env[key], type(field.default))
+    return Config(**overrides)
+
+
+_config = None
+
+
+def get_config():
+    global _config
+    if _config is None:
+        _config = load_config()
+    return _config
+
+
+def set_config(config):
+    global _config
+    _config = config

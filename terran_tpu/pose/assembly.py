@@ -43,7 +43,7 @@ def greedy_connections(reg_scores, accept, count_src, count_dst):
 
 
 def assemble_humans(peak_coords, peak_scores, peak_valid, reg_scores, accept,
-                    human_threshold=0.4):
+                    human_threshold=0.4, use_native=None):
     """Build humans from per-limb connections for one image.
 
     Parameters are the per-image device outputs: peak_coords (P, K, 2),
@@ -54,15 +54,34 @@ def assemble_humans(peak_coords, peak_scores, peak_valid, reg_scores, accept,
     (N_humans, 20)) following the reference layout: first 18 entries are
     global peak ids (or -1), then score sum, then keypoint count
     (wrapper.py:368-380).
+
+    Dispatches to the C++ implementation (terran_tpu.native) when it is
+    available; ``use_native=False`` forces this Python version.
     """
     counts = peak_valid.sum(axis=1).astype(int)  # (P,)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
-    peaks_by_id = np.array([
-        (peak_coords[p, s, 0], peak_coords[p, s, 1], peak_scores[p, s])
+    rows = [
+        np.column_stack([
+            peak_coords[p, : counts[p]].astype(np.float64),
+            peak_scores[p, : counts[p]].astype(np.float64),
+        ])
         for p in range(NUM_PARTS)
-        for s in range(counts[p])
-    ]).reshape(-1, 3)
+    ]
+    peaks_by_id = (
+        np.concatenate(rows, axis=0) if any(len(r) for r in rows)
+        else np.zeros((0, 3))
+    )
+
+    if use_native is not False:
+        from terran_tpu import native
+
+        if native.native_available():
+            humans = native.assemble_humans_native(
+                peak_scores, counts, offsets, reg_scores, accept, LIMBSEQ,
+                human_threshold=human_threshold,
+            )
+            return peaks_by_id, humans
 
     humans = np.ones((0, 20)) * -1
 

@@ -216,7 +216,7 @@ class Sort:
         for track_idx, track in enumerate(self.trackers):
             if track_idx not in unmatched_tracks:
                 face_idx = int(
-                    matched[np.where(matched[:, 1] == track_idx)[0], 0]
+                    matched[np.where(matched[:, 1] == track_idx)[0], 0].item()
                 )
                 track.update(faces[face_idx])
                 track_id = track.id if (

@@ -95,6 +95,14 @@ class MultiStreamPerception:
         """Yield per-batch lists of result dicts:
         {stream, frame, faces, embeddings, pose}."""
         for frames, meta in self.mux:
+            # Pad trailing partial batches to the fixed batch size so they
+            # reuse the compiled program instead of triggering a fresh
+            # compilation per distinct size.
+            if frames.shape[0] < self.mux.batch_size:
+                pad = self.mux.batch_size - frames.shape[0]
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], pad, axis=0)]
+                )
             out = self.pipeline.process_batch(frames)
             faces_per_frame = self.pipeline.faces_from(out)
             results = []

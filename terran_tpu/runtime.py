@@ -15,9 +15,32 @@ Design notes (TPU-first):
 
 import os
 from dataclasses import dataclass
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (first compile of the big fused
+    programs costs 1-5 minutes through a remote-compile relay; cached
+    reloads take ~1 s). Respects JAX_COMPILATION_CACHE_DIR; disable with
+    TERRAN_TPU_COMPILATION_CACHE=0."""
+    if os.environ.get("TERRAN_TPU_COMPILATION_CACHE", "1") == "0":
+        return
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            str(Path("~/.cache/terran-tpu/xla").expanduser()),
+        )
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+enable_compilation_cache()
 
 
 def available_devices():

@@ -74,6 +74,7 @@ class ArcFaceRecognizer:
         dtype = compute_dtype or default_policy().compute_dtype
         self.model = FaceResNet100(compute_dtype=dtype)
         self._embed_fns = {}
+        self._align_embed_fns = {}
 
     def _embed(self, crops):
         """Embed (K, S, S, 3) float crops, bucketing K to a power of two."""
@@ -112,33 +113,71 @@ class ArcFaceRecognizer:
         # for bitwise-closer parity before the network's /128 normalisation.
         return np.asarray(jnp.round(crops))[:k]
 
+    def _align_embed(self, image, mats):
+        """Fused on-device align + embed for one image: the crops never
+        return to the host (the reference's alignment is a per-face host
+        loop feeding a separate device batch, wrapper.py:137-174)."""
+        key = (image.shape, mats.shape[0])
+        if key not in self._align_embed_fns:
+            side = self.image_side
+
+            @jax.jit
+            def fn(params, image, mats):
+                crops = warp_affine_batch(image, mats, out_h=side, out_w=side)
+                crops = jnp.round(crops)  # reference warps to uint8
+                feats = self.model.apply(
+                    {"params": params},
+                    crops.astype(self.model.compute_dtype),
+                )
+                return normalize_embeddings(feats.astype(jnp.float32))
+
+            self._align_embed_fns[key] = fn
+        return self._align_embed_fns[key](self.params, image, mats)
+
     def call(self, images, faces_per_image=None):
         """Extract embeddings; same contract as the reference wrapper
         (wrapper.py:109-184)."""
-        preprocessed = []
         if faces_per_image is not None:
+            per_image_feats = []
             for image, faces in zip(images, faces_per_image):
-                if faces:
-                    preprocessed.extend(self.align(image, faces))
-            splits = np.cumsum(list(map(len, faces_per_image)))[:-1]
-        else:
-            for image in images:
-                preprocessed.append(
-                    preprocess_face_no_landmarks(image, self.image_side)
-                    .astype(np.float32)
+                if not faces:
+                    per_image_feats.append(
+                        np.empty((0, EMBEDDING_DIM), np.float32)
+                    )
+                    continue
+                mats = np.stack([
+                    alignment_matrix(
+                        np.asarray(face["landmarks"], dtype=np.float32)
+                    )
+                    for face in faces
+                ])
+                k = mats.shape[0]
+                kb = _next_pow2(k)
+                if kb != k:
+                    mats = np.concatenate([
+                        mats,
+                        np.tile(np.eye(2, 3, dtype=np.float32),
+                                (kb - k, 1, 1)),
+                    ])
+                feats = self._align_embed(
+                    np.asarray(image), jnp.asarray(mats)
                 )
-            splits = []
+                per_image_feats.append(
+                    np.asarray(feats, dtype=np.float32)[:k]
+                )
+            return per_image_feats
 
+        # No landmarks: resize+pad each whole image and embed the batch
+        # (reference wrapper.py:149-157 packs them as one pseudo-image).
+        preprocessed = [
+            preprocess_face_no_landmarks(image, self.image_side)
+            .astype(np.float32)
+            for image in images
+        ]
         if not preprocessed:
             return [np.empty((0, EMBEDDING_DIM)) for _ in images]
-
         batch = np.stack(preprocessed, axis=0).astype(np.float32)
-        features = self._embed(batch)
-        features_per_image = np.split(features, splits, axis=0)
-
-        if faces_per_image is None:
-            features_per_image = features_per_image[0]
-        return features_per_image
+        return self._embed(batch)
 
 
 class Recognition:

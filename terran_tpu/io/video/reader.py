@@ -381,6 +381,7 @@ class Video:
     def close(self):
         if self._closed:
             raise VideoClosed("The video has already been closed.")
+        self._closed = True
         if self._thread:
             self._stop_signal.set()
             # Drain so a blocked producer can observe the stop signal.
@@ -390,7 +391,12 @@ class Video:
             except QueueEmpty:
                 pass
             self._thread.join()
-        self._closed = True
+            # Wake any consumer blocked in read_frames() with the EOF
+            # sentinel (the queue was just drained, so this cannot block).
+            try:
+                self._queue.put_nowait(None)
+            except QueueFull:  # pragma: no cover
+                pass
 
 
 def open_video(*args, **kwargs):

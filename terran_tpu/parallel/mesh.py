@@ -64,3 +64,25 @@ def shard_params(params, mesh):
 def shard_batch(batch, mesh):
     """Place a host batch with the leading axis split across the mesh."""
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def initialize_multi_host(coordinator_address=None, num_processes=None,
+                          process_id=None):
+    """Initialise JAX's multi-host runtime (DCN side of the scale-out
+    story). Each host then feeds its local shard from its own readers;
+    collectives within the jitted programs ride ICI inside the slice.
+
+    No-ops when already initialised or when running single-process (the
+    common case). Arguments default to the JAX_* / cloud-TPU environment
+    discovery that ``jax.distributed.initialize`` performs itself.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # Already initialised, or single-process environment without
+        # coordinator configuration — both fine.
+        pass

@@ -20,7 +20,7 @@ TPU-first deviations from the reference implementation (behaviour preserved):
 """
 
 import functools
-from typing import Any, Dict
+
 
 import numpy as np
 import jax

@@ -53,7 +53,7 @@ class PerceptionPipeline:
                  det_short_side=416, pose_short_side=184, threshold=0.5,
                  nms_threshold=0.4, top_k=128, max_faces=16, max_peaks=32,
                  compute_dtype=None, mesh=None, with_pose=True,
-                 with_embeddings=True):
+                 with_embeddings=True, timer=None):
         from terran_tpu.checkpoint import load_checkpoint_params
 
         if det_params is None:
@@ -99,6 +99,9 @@ class PerceptionPipeline:
 
         self._step_fns = {}
         self._pose_fns = {}
+
+        # Optional observability hook (terran_tpu.utils.profiling.StageTimer).
+        self.timer = timer
 
         # Pose thresholds (reference openpose/wrapper.py:177-180).
         self.keypoint_threshold = 0.1
@@ -256,16 +259,25 @@ class PerceptionPipeline:
         Returns a dict of device arrays (faces/embeddings) and, when pose is
         enabled, the per-image assembled pose dicts.
         """
+        import contextlib
+
+        def stage(name, items=0):
+            if self.timer is None:
+                return contextlib.nullcontext()
+            return self.timer.stage(name, items)
+
         frames = np.asarray(frames)
         n = frames.shape[0]
         if self.mesh is not None:
             frames, n = pad_batch_to_multiple(frames, self.mesh.size)
 
         full_h, full_w = frames.shape[1:3]
-        frames_dev = self.put_frames(frames)
+        with stage("h2d", items=n):
+            frames_dev = self.put_frames(frames)
 
         step = self._perception_fn(full_h, full_w)
-        out = dict(step(self.det_params, self.rec_params, frames_dev))
+        with stage("perception_step", items=n):
+            out = dict(step(self.det_params, self.rec_params, frames_dev))
         # Start result transfers while the pose program runs.
         for v in out.values():
             if hasattr(v, "copy_to_host_async"):
@@ -276,17 +288,21 @@ class PerceptionPipeline:
                 full_h, full_w, self.pose_short_side
             )
             decode = self._pose_fn(full_h, full_w)
-            coords, scores, valid, reg, accept = map(
-                np.asarray, decode(self.pose_params, frames_dev)
-            )
-            poses = []
-            for i in range(n):
-                peaks_by_id, humans = assemble_humans(
-                    coords[i], scores[i], valid[i], reg[i], accept[i],
-                    human_threshold=self.human_threshold,
+            with stage("pose_decode", items=n):
+                coords, scores, valid, reg, accept = map(
+                    np.asarray, decode(self.pose_params, frames_dev)
                 )
-                poses.append(get_keypoints(peaks_by_id, humans, pose_scale))
-            out["poses"] = poses
+            with stage("pose_assembly", items=n):
+                poses = []
+                for i in range(n):
+                    peaks_by_id, humans = assemble_humans(
+                        coords[i], scores[i], valid[i], reg[i], accept[i],
+                        human_threshold=self.human_threshold,
+                    )
+                    poses.append(
+                        get_keypoints(peaks_by_id, humans, pose_scale)
+                    )
+                out["poses"] = poses
 
         # Trim mesh padding.
         for key in ("boxes", "landmarks", "scores", "mask", "embeddings",

@@ -28,6 +28,16 @@ def enable_compilation_cache():
     TERRAN_TPU_COMPILATION_CACHE=0."""
     if os.environ.get("TERRAN_TPU_COMPILATION_CACHE", "1") == "0":
         return
+    # The axon remote-compile relay deadlocks when the persistent cache
+    # tries to serialise its larger executables (observed: the fused
+    # perception program compiles in ~220s with the cache off but hangs
+    # indefinitely with it on). Opt in explicitly with
+    # TERRAN_TPU_COMPILATION_CACHE=1 if the relay gains support.
+    if (
+        os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+        and "TERRAN_TPU_COMPILATION_CACHE" not in os.environ
+    ):
+        return
     try:
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",

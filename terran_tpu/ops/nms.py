@@ -85,6 +85,65 @@ def nms_fixed(boxes, scores, iou_threshold, score_threshold=0.0, top_k=256):
     return top_boxes, top_scores, keep, order
 
 
+def make_sharded_nms(mesh, axis_name="data", *, iou_threshold=0.4,
+                     score_threshold=0.5, local_top_k=128, top_k=256):
+    """Cross-chip NMS for a single image whose anchors are sharded.
+
+    The latency-oriented complement to the batch-parallel pipeline (SURVEY
+    §2: collectives appear only in the optional cross-chip NMS/top-K
+    merge): each chip pre-selects its local top-``local_top_k`` candidates
+    from its anchor shard, an ``all_gather`` over ICI assembles the
+    survivors, and every chip runs the exact greedy NMS on the merged set
+    (replicated output).
+
+    Exactness: identical to single-device NMS whenever no more than
+    ``local_top_k`` above-threshold candidates live on any one shard —
+    greedy NMS only ever keeps candidates that would also survive local
+    pre-selection by score.
+
+    Returns a function (boxes (A, 4), scores (A,)) -> fixed-size outputs
+    like :func:`nms_fixed`, with ``order`` indexing the *gathered* arrays
+    (boxes/scores returned directly, so callers rarely need it). ``A`` must
+    be divisible by the mesh size.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def local_select(boxes, scores):
+        # Top-K within this chip's anchor shard.
+        masked = jnp.where(scores >= score_threshold, scores, -jnp.inf)
+        top_scores, idx = jax.lax.top_k(masked, local_top_k)
+        return boxes[idx], top_scores
+
+    def sharded(boxes, scores):
+        local_boxes, local_scores = local_select(boxes, scores)
+        all_boxes = jax.lax.all_gather(
+            local_boxes, axis_name, tiled=True
+        )  # (n_dev * local_top_k, 4)
+        all_scores = jax.lax.all_gather(local_scores, axis_name, tiled=True)
+        return nms_fixed(
+            all_boxes, all_scores, iou_threshold,
+            score_threshold=score_threshold, top_k=top_k,
+        )
+
+    fn = shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    spec = NamedSharding(mesh, P(axis_name))
+
+    @jax.jit
+    def run(boxes, scores):
+        boxes = jax.lax.with_sharding_constraint(boxes, spec)
+        scores = jax.lax.with_sharding_constraint(scores, spec)
+        return fn(boxes, scores)
+
+    return run
+
+
 def nms_numpy_reference(boxes, scores, iou_threshold):
     """O(n^2) numpy greedy NMS, used as the test oracle."""
     import numpy as np

@@ -63,3 +63,31 @@ def test_nms_empty_input(rng):
     _, _, keep_mask, _ = nms_fixed(boxes, scores, 0.4, score_threshold=0.5,
                                    top_k=16)
     assert not np.asarray(keep_mask).any()
+
+
+def test_sharded_nms_matches_single_device(rng):
+    """Cross-chip NMS (local top-k + all_gather + exact merge) equals the
+    single-device result when local capacity suffices."""
+    import jax
+    from terran_tpu.ops.nms import make_sharded_nms
+    from terran_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(8)
+    a = 1024  # anchors, divisible by 8
+    boxes = random_boxes(rng, a)
+    scores = rng.uniform(0, 1, size=a).astype(np.float32)
+
+    run = make_sharded_nms(mesh, iou_threshold=0.4, score_threshold=0.5,
+                           local_top_k=128, top_k=128)
+    sb, ss, smask, _ = run(boxes, scores)
+
+    rb, rs, rmask, rorder = nms_fixed(boxes, scores, 0.4,
+                                      score_threshold=0.5, top_k=128)
+    got = np.asarray(sb)[np.asarray(smask)]
+    expected = np.asarray(rb)[np.asarray(rmask)]
+    # Same kept boxes in the same score order.
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ss)[np.asarray(smask)],
+        np.asarray(rs)[np.asarray(rmask)], rtol=1e-6,
+    )

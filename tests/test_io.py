@@ -204,3 +204,31 @@ def test_resolve_images_flushes_trailing_batch(tmp_path):
     singles = list(resolve_images(tmp_path))
     assert len(singles) == 5
     assert all(isinstance(p, Path) for p in singles)
+
+
+def test_writer_close_without_frames(tmp_path):
+    writer = VideoWriter(tmp_path / "out.mp4", framerate=10)
+    writer.close()  # no thread ever started
+    with pytest.raises(VideoClosed):
+        writer.write_frame(np.zeros((4, 4, 3), np.uint8))
+
+
+def test_video_len_requires_duration(monkeypatch):
+    probe = {
+        "streams": [{"codec_type": "video", "width": 8, "height": 6,
+                     "avg_frame_rate": "10/1"}],
+        "format": {},
+    }
+    monkeypatch.setattr(
+        "terran_tpu.io.video.reader.ffmpeg_probe", lambda p, **kw: probe
+    )
+    video = Video("/fake/stream.mp4", batch_size=4)
+    assert video.duration is None
+    with pytest.raises(AttributeError):
+        len(video)
+    # read_for gives it a length.
+    video2 = Video("/fake/stream.mp4", batch_size=4, read_for=2)
+    monkeypatch.setattr(
+        "terran_tpu.io.video.reader.ffmpeg_probe", lambda p, **kw: probe
+    )
+    assert len(video2) == 5

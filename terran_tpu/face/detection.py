@@ -153,5 +153,11 @@ class _LazyDetection:
         return self._resolve()(images)
 
 
+    def __getattr__(self, name):
+        # Forward attribute access so the lazy proxy is a drop-in for the
+        # real instance (the reference exposes a real object at import).
+        return getattr(self._resolve(), name)
+
+
 face_detection = _LazyDetection()
 """Default entry point to face detection."""

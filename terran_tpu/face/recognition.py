@@ -242,5 +242,11 @@ class _LazyRecognition:
         return self._resolve()(images, faces_per_image)
 
 
+    def __getattr__(self, name):
+        # Forward attribute access so the lazy proxy is a drop-in for the
+        # real instance (the reference exposes a real object at import).
+        return getattr(self._resolve(), name)
+
+
 extract_features = _LazyRecognition()
 """Default entry point to face recognition."""

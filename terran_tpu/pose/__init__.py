@@ -96,5 +96,11 @@ class _LazyEstimation:
         return self._resolve()(images)
 
 
+    def __getattr__(self, name):
+        # Forward attribute access so the lazy proxy is a drop-in for the
+        # real instance (the reference exposes a real object at import).
+        return getattr(self._resolve(), name)
+
+
 pose_estimation = _LazyEstimation()
 """Default entry point to pose estimation."""

@@ -1,5 +1,5 @@
 from terran_tpu.io.image import open_image, resolve_images  # noqa
 from terran_tpu.io.video import (  # noqa
     EndOfVideo, SyntheticVideo, Video, VideoClosed, VideoWriter,
-    device_prefetch, open_video, write_video,
+    device_prefetch, fixed_shape_batches, open_video, write_video,
 )

@@ -20,4 +20,4 @@ class VideoClosed(Exception):
 from terran_tpu.io.video.reader import Video, open_video  # noqa
 from terran_tpu.io.video.writer import VideoWriter, write_video  # noqa
 from terran_tpu.io.video.synthetic import SyntheticVideo  # noqa
-from terran_tpu.io.video.prefetch import device_prefetch  # noqa
+from terran_tpu.io.video.prefetch import device_prefetch, fixed_shape_batches  # noqa

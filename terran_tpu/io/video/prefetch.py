@@ -10,7 +10,37 @@ reader thread. JAX's async dispatch does the rest.
 
 from collections import deque
 
+import numpy as np
 import jax
+
+
+def fixed_shape_batches(batch_iterator, batch_size=None):
+    """Re-emit batches at a fixed leading size, padding the trailing batch.
+
+    XLA compiles one program per shape, so a short final batch from a video
+    would trigger a fresh multi-minute compilation for one batch of work.
+    Yields ``(batch, valid_count)`` where the batch always has
+    ``batch_size`` frames (trailing frames repeat the last valid frame) and
+    ``valid_count`` says how many are real.
+
+    ``batch_size`` defaults to the first batch's size.
+    """
+    for batch in batch_iterator:
+        batch = np.asarray(batch)
+        if batch.ndim == 3:
+            batch = batch[None]
+        if batch_size is None:
+            batch_size = batch.shape[0]
+        start = 0
+        while start < batch.shape[0]:
+            chunk = batch[start: start + batch_size]
+            start += batch_size
+            n = chunk.shape[0]
+            if n < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], batch_size - n, axis=0)]
+                )
+            yield chunk, n
 
 
 def device_prefetch(batch_iterator, depth=2, device=None):

@@ -232,3 +232,21 @@ def test_video_len_requires_duration(monkeypatch):
         "terran_tpu.io.video.reader.ffmpeg_probe", lambda p, **kw: probe
     )
     assert len(video2) == 5
+
+
+def test_fixed_shape_batches_pads_and_rechunks():
+    from terran_tpu.io import fixed_shape_batches
+
+    video = SyntheticVideo(width=8, height=4, num_frames=10, batch_size=4)
+    out = list(fixed_shape_batches(video))
+    # 4, 4, 2(padded to 4) frames.
+    assert [n for _, n in out] == [4, 4, 2]
+    assert all(b.shape == (4, 4, 8, 3) for b, _ in out)
+    # Padding repeats the last valid frame.
+    last_batch, n = out[-1]
+    np.testing.assert_array_equal(last_batch[2], last_batch[1])
+
+    # Explicit smaller batch size re-chunks larger source batches.
+    video2 = SyntheticVideo(width=8, height=4, num_frames=6, batch_size=6)
+    out2 = list(fixed_shape_batches(video2, batch_size=4))
+    assert [n for _, n in out2] == [4, 2]

@@ -246,9 +246,8 @@ class PerceptionPipeline:
     def put_frames(self, frames):
         """Single host->HBM upload of a frame batch (sharded under a
         mesh). Accepts arrays already on device unchanged."""
-        if hasattr(frames, "addressable_shards") or hasattr(frames, "device"):
-            if not isinstance(frames, np.ndarray):
-                return frames
+        if not isinstance(frames, np.ndarray):
+            return frames  # already a device array
         if self.mesh is not None:
             return jax.device_put(frames, batch_sharding(self.mesh))
         return jax.device_put(frames)

@@ -28,8 +28,14 @@ class OpenPoseEstimator:
         # Keep weights device-resident: converted params arrive as host numpy
         # arrays, and feeding them to a jitted call re-uploads them over the
         # host->HBM link every invocation (~2s/call for the larger models).
+        # ``device`` (a jax.Device) selects the chip, like the reference's
+        # torch device kwarg; default is the first accelerator.
         import jax
-        self.params = jax.device_put(params)
+        self.params = (
+            jax.device_put(params, device) if device is not None
+            else jax.device_put(params)
+        )
+        self.device = device
         self.short_side = short_side
         self.max_peaks = max_peaks
 

@@ -250,3 +250,41 @@ def test_fixed_shape_batches_pads_and_rechunks():
     video2 = SyntheticVideo(width=8, height=4, num_frames=6, batch_size=6)
     out2 = list(fixed_shape_batches(video2, batch_size=4))
     assert [n for _, n in out2] == [4, 2]
+
+
+def test_open_image_url(monkeypatch, tmp_path):
+    from io import BytesIO as _BytesIO
+
+    from terran_tpu.io.image import USER_AGENT, open_image
+
+    img = np.random.default_rng(0).integers(0, 255, (6, 8, 3), dtype=np.uint8)
+    buf = _BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    payload = buf.getvalue()
+    seen = {}
+
+    class FakeResponse:
+        content = payload
+
+    def fake_get(url, headers=None):
+        seen["url"] = url
+        seen["ua"] = headers.get("User-Agent")
+        return FakeResponse()
+
+    import requests
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    got = open_image("https://example.com/x.png")
+    np.testing.assert_array_equal(got, img)
+    assert seen["ua"] == USER_AGENT  # Chrome UA (reference io/image.py:10-13)
+
+
+def test_open_image_grayscale_promoted(tmp_path):
+    from terran_tpu.io.image import open_image
+
+    gray = np.random.default_rng(0).integers(0, 255, (5, 7), dtype=np.uint8)
+    path = tmp_path / "g.png"
+    Image.fromarray(gray, mode="L").save(path)
+    got = open_image(path)
+    assert got.shape == (5, 7, 3)
+    np.testing.assert_array_equal(got[..., 0], got[..., 1])

@@ -1,0 +1,117 @@
+"""Tiled detection for very large frames.
+
+The reference (and the exact-parity path here) resizes every input to a
+short side of ~416px, so a 4K/8K frame loses most of its small faces. The
+scaling analogue of 'long context' for this workload (SURVEY §5) is
+spatial: split the frame into overlapping tiles at native resolution, run
+the detector over the tile batch — which data-parallelises across chips
+like any other batch — map the boxes back to global coordinates, and merge
+duplicates from the overlap margins with one global NMS.
+
+Detections are equivalent to whole-image inference for any face whose
+receptive context fits inside a tile (the overlap must exceed the largest
+expected face); faces larger than the overlap should be caught by a
+regular resized pass — ``TiledDetector`` can fuse one in.
+"""
+
+import numpy as np
+
+from terran_tpu.ops.nms import nms_fixed
+
+
+def tile_layout(height, width, tile=1024, overlap=256):
+    """Static tile origins covering (height, width).
+
+    Tiles are ``tile`` squares placed every ``tile - overlap`` pixels, with
+    the final row/column clamped so every tile lies fully inside the image
+    (images smaller than ``tile`` get a single clamped tile).
+    """
+    if overlap >= tile:
+        raise ValueError("overlap must be smaller than tile")
+    stride = tile - overlap
+
+    def starts(size):
+        if size <= tile:
+            return [0]
+        last = size - tile
+        out = list(range(0, last, stride))
+        out.append(last)
+        return out
+
+    return [(y, x) for y in starts(height) for x in starts(width)]
+
+
+def extract_tiles(image, origins, tile=1024):
+    """Stack tiles into a (T, tile, tile, C) batch, zero-padding tiles that
+    extend past a small image."""
+    h, w = image.shape[:2]
+    batch = np.zeros((len(origins), tile, tile, image.shape[2]),
+                     dtype=image.dtype)
+    for idx, (y, x) in enumerate(origins):
+        ys = min(tile, h - y)
+        xs = min(tile, w - x)
+        batch[idx, :ys, :xs] = image[y: y + ys, x: x + xs]
+    return batch
+
+
+class TiledDetector:
+    """Native-resolution face detection on arbitrarily large frames.
+
+    Wraps a :class:`~terran_tpu.face.detection.RetinaFaceDetector`: the
+    tile batch reuses its fixed-shape jitted program (one compilation for
+    any image size), and a final fixed-K NMS merges the per-tile results
+    in global coordinates.
+    """
+
+    def __init__(self, detector, tile=1024, overlap=256, top_k=256,
+                 nms_threshold=0.4):
+        self.detector = detector
+        self.tile = tile
+        self.overlap = overlap
+        self.top_k = top_k
+        self.nms_threshold = nms_threshold
+
+    def __call__(self, image, threshold=0.5):
+        """Detect on one (H, W, 3) uint8 image; returns the task-API list of
+        ``{'bbox', 'landmarks', 'score'}`` dicts in global pixel coords."""
+        image = np.asarray(image)
+        origins = tile_layout(image.shape[0], image.shape[1],
+                              self.tile, self.overlap)
+        tiles = extract_tiles(image, origins, self.tile)
+
+        per_tile = self.detector.call(tiles, threshold=threshold)
+
+        boxes, landmarks, scores = [], [], []
+        for (y, x), faces in zip(origins, per_tile):
+            for face in faces:
+                box = np.asarray(face["bbox"], dtype=np.float32)
+                lmk = np.asarray(face["landmarks"], dtype=np.float32)
+                boxes.append(box + [x, y, x, y])
+                landmarks.append(lmk + [x, y])
+                scores.append(face["score"])
+
+        if not boxes:
+            return []
+
+        boxes = np.stack(boxes)
+        landmarks = np.stack(landmarks)
+        scores = np.asarray(scores, dtype=np.float32)
+
+        # Merge overlap duplicates with one global NMS.
+        kb, ks, keep, order = nms_fixed(
+            boxes, scores, self.nms_threshold,
+            score_threshold=threshold, top_k=min(self.top_k, len(boxes)),
+        )
+        kb = np.asarray(kb)
+        ks = np.asarray(ks, dtype=np.float32)
+        keep = np.asarray(keep)
+        order = np.asarray(order)
+
+        return [
+            {
+                "bbox": kb[i],
+                "landmarks": landmarks[order[i]],
+                "score": ks[i],
+            }
+            for i in np.flatnonzero(keep)
+        ]

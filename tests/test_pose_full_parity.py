@@ -75,7 +75,7 @@ def reference_decode_numpy(heatmaps, pafs, keypoint_threshold=0.1,
             pafs[seg_y, seg_x, cx] * dirs[..., 1][..., None]
             + pafs[seg_y, seg_x, cy] * dirs[..., 0][..., None]
         )  # (src, dst, M)
-        with np.errstate(invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore"):
             reg = mids.mean(axis=2) + np.minimum(0.5 * h / norms - 1.0, 0.0)
             crit1 = (mids > thresh_2).sum(axis=2) > 0.8 * num_midpoints
             crit2 = reg > 0

@@ -171,26 +171,17 @@ class PerceptionPipeline:
             }
 
             if with_embeddings:
+                # Aligned crops stay on device and feed the separate
+                # embedding program (splitting ArcFace's 100-layer graph
+                # out of this program cuts its compile time several-fold
+                # with no host round trip in between).
                 lmk_top = lmk_full[:, :max_faces].astype(jnp.float32)
                 mats = jax.vmap(alignment_matrices_jax)(lmk_top)
                 crops = jax.vmap(
                     lambda img, m: warp_affine_batch(img, m)
                 )(frames_full, mats)  # (B, F, 112, 112, 3)
-                crops = jnp.round(crops)  # match the reference's uint8 warp
-
-                b = crops.shape[0]
-                flat = crops.reshape((-1,) + crops.shape[2:])
-                feats = self.rec_model.apply(
-                    {"params": rec_params},
-                    flat.astype(self.rec_model.compute_dtype),
-                )
-                feats = normalize_embeddings(feats.astype(jnp.float32))
-                feats = feats.reshape(b, max_faces, -1)
-                emb_mask = mask[:, :max_faces]
-                result["embeddings"] = jnp.where(
-                    emb_mask[..., None], feats, 0.0
-                )
-                result["embeddings_mask"] = emb_mask
+                result["crops"] = jnp.round(crops)  # reference warps to uint8
+                result["embeddings_mask"] = mask[:, :max_faces]
 
             return result
 
@@ -199,6 +190,26 @@ class PerceptionPipeline:
         ))
         self._step_fns[key] = step
         return step
+
+    def _embed_fn(self):
+        if hasattr(self, "_embed_jit"):
+            return self._embed_jit
+
+        def embed(rec_params, crops, emb_mask):
+            b, f = crops.shape[:2]
+            flat = crops.reshape((-1,) + crops.shape[2:])
+            feats = self.rec_model.apply(
+                {"params": rec_params},
+                flat.astype(self.rec_model.compute_dtype),
+            )
+            feats = normalize_embeddings(feats.astype(jnp.float32))
+            feats = feats.reshape(b, f, -1)
+            return jnp.where(emb_mask[..., None], feats, 0.0)
+
+        self._embed_jit = jax.jit(embed, **self._sharding_kwargs(
+            num_batch_args=2, num_param_args=1,
+        ))
+        return self._embed_jit
 
     def _pose_fn(self, full_h, full_w):
         key = (full_h, full_w)
@@ -277,6 +288,12 @@ class PerceptionPipeline:
         step = self._perception_fn(full_h, full_w)
         with stage("perception_step", items=n):
             out = dict(step(self.det_params, self.rec_params, frames_dev))
+        if "crops" in out:
+            with stage("embed", items=n):
+                out["embeddings"] = self._embed_fn()(
+                    self.rec_params, out.pop("crops"),
+                    out["embeddings_mask"],
+                )
         # Start result transfers while the pose program runs.
         for v in out.values():
             if hasattr(v, "copy_to_host_async"):

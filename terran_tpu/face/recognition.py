@@ -99,8 +99,9 @@ class ArcFaceRecognizer:
         feats = self._embed_fns[kb](self.params, crops)
         return np.asarray(feats, dtype=np.float32)[:k]
 
-    def align(self, image, faces):
-        """Warp every face of one image to aligned 112x112 RGB crops."""
+    def _alignment_mats(self, faces):
+        """(K, 2, 3) alignment matrices for one image's faces, padded to a
+        power-of-two face count so jitted programs are reused."""
         mats = np.stack([
             alignment_matrix(np.asarray(face["landmarks"], dtype=np.float32))
             for face in faces
@@ -111,6 +112,11 @@ class ArcFaceRecognizer:
             mats = np.concatenate(
                 [mats, np.tile(np.eye(2, 3, dtype=np.float32), (kb - k, 1, 1))]
             )
+        return mats, k
+
+    def align(self, image, faces):
+        """Warp every face of one image to aligned 112x112 RGB crops."""
+        mats, k = self._alignment_mats(faces)
         crops = warp_affine_batch(
             np.asarray(image), jnp.asarray(mats),
             out_h=self.image_side, out_w=self.image_side,
@@ -151,20 +157,7 @@ class ArcFaceRecognizer:
                         np.empty((0, EMBEDDING_DIM), np.float32)
                     )
                     continue
-                mats = np.stack([
-                    alignment_matrix(
-                        np.asarray(face["landmarks"], dtype=np.float32)
-                    )
-                    for face in faces
-                ])
-                k = mats.shape[0]
-                kb = _next_pow2(k)
-                if kb != k:
-                    mats = np.concatenate([
-                        mats,
-                        np.tile(np.eye(2, 3, dtype=np.float32),
-                                (kb - k, 1, 1)),
-                    ])
+                mats, k = self._alignment_mats(faces)
                 feats = self._align_embed(
                     np.asarray(image), jnp.asarray(mats)
                 )

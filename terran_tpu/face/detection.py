@@ -14,6 +14,7 @@ cross back to the host.
 import numpy as np
 
 from terran_tpu.checkpoint import get_class_for_checkpoint, load_checkpoint_params
+from terran_tpu.config import get_config
 from terran_tpu.models.retinaface import RetinaFace as RetinaFaceModel
 from terran_tpu.models.retinaface import make_detect_fn
 from terran_tpu.runtime import bucket_shape, default_policy
@@ -31,8 +32,14 @@ class RetinaFaceDetector:
 
     CHECKPOINT_CLASS = "terran_tpu.face.detection.RetinaFaceDetector"
 
-    def __init__(self, params=None, nms_threshold=0.4, top_k=256,
-                 bucketing="exact", compute_dtype=None, device=None):
+    def __init__(self, params=None, nms_threshold=None, top_k=None,
+                 bucketing=None, compute_dtype=None, device=None):
+        cfg = get_config()
+        nms_threshold = (
+            cfg.nms_iou_threshold if nms_threshold is None else nms_threshold
+        )
+        top_k = cfg.detection_top_k if top_k is None else top_k
+        bucketing = cfg.bucketing if bucketing is None else bucketing
         if params is None:
             params = load_checkpoint_params(self.CHECKPOINT_CLASS)
         # Keep weights device-resident: converted params arrive as host numpy
@@ -62,7 +69,7 @@ class RetinaFaceDetector:
             )
         return self._detect_fns[key]
 
-    def call(self, images, threshold=0.5):
+    def call(self, images, threshold=None):
         """Run detection on an (N, H, W, 3) uint8 RGB array.
 
         Returns a list (per image) of lists of
@@ -70,6 +77,8 @@ class RetinaFaceDetector:
         score-descending — the reference wrapper's exact contract
         (wrapper.py:233-236).
         """
+        if threshold is None:
+            threshold = get_config().detection_threshold
         images = np.asarray(images)
         n, h, w = images.shape[:3]
         bh, bw = bucket_shape(h, w, mode=self.bucketing)
@@ -102,8 +111,10 @@ class Detection:
     """Generic detection task (reference Detection,
     face/detection/__init__.py:185-287)."""
 
-    def __init__(self, checkpoint=None, short_side=416, merge_method="padding",
+    def __init__(self, checkpoint=None, short_side=None, merge_method="padding",
                  device=None, lazy=False, **model_kwargs):
+        if short_side is None:
+            short_side = get_config().detection_short_side
         self.device = device
         self.checkpoint = checkpoint
         self.model_kwargs = model_kwargs

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from terran_tpu.checkpoint import get_class_for_checkpoint, load_checkpoint_params
+from terran_tpu.config import get_config
 from terran_tpu.models.arcface import FaceResNet100, normalize_embeddings
 from terran_tpu.ops.warp import alignment_matrix, warp_affine_batch
 from terran_tpu.runtime import default_policy
@@ -62,7 +63,9 @@ class ArcFaceRecognizer:
     CHECKPOINT_CLASS = "terran_tpu.face.recognition.ArcFaceRecognizer"
 
     def __init__(self, params=None, compute_dtype=None, device=None,
-                 image_side=112):
+                 image_side=None):
+        if image_side is None:
+            image_side = get_config().recognition_crop_side
         if params is None:
             params = load_checkpoint_params(self.CHECKPOINT_CLASS)
         # Keep weights device-resident: converted params arrive as host numpy
@@ -204,9 +207,14 @@ class Recognition:
         ):
             expanded = True
             images = [images]
+            # Expand faces only when provided: wrapping None into [None]
+            # would route a single no-faces image into the landmark branch
+            # and silently return an empty embedding array (the reference
+            # has the same latent wrap at face/recognition/__init__.py:66-69
+            # — there it crashes instead).
             if isinstance(faces_per_image, dict):
                 faces_per_image = [[faces_per_image]]
-            else:
+            elif faces_per_image is not None:
                 faces_per_image = [faces_per_image]
 
         if faces_per_image is not None and len(faces_per_image) != len(images):

@@ -43,7 +43,7 @@ def fixed_shape_batches(batch_iterator, batch_size=None):
             yield chunk, n
 
 
-def device_prefetch(batch_iterator, depth=2, device=None):
+def device_prefetch(batch_iterator, depth=None, device=None):
     """Yield device-resident arrays from a host batch iterator.
 
     Parameters
@@ -52,6 +52,10 @@ def device_prefetch(batch_iterator, depth=2, device=None):
     depth : number of batches to keep in flight on device (>= 1).
     device : target ``jax.Device`` (default: first device).
     """
+    if depth is None:
+        from terran_tpu.config import get_config
+
+        depth = get_config().device_prefetch_depth
     if device is None:
         device = jax.devices()[0]
 

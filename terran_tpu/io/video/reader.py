@@ -27,9 +27,7 @@ import subprocess
 from queue import Empty as QueueEmpty, Full as QueueFull, Queue
 from threading import Event, Thread
 
-from terran_tpu.io.video import (
-    DEFAULT_READER_BUFFER_SIZE, EndOfVideo, VideoClosed,
-)
+from terran_tpu.io.video import EndOfVideo, VideoClosed
 
 
 def youtube_dl_available():
@@ -361,7 +359,9 @@ class Video:
                 "height": self.height,
                 "batch_size": self.batch_size,
             }
-            self._queue = Queue(DEFAULT_READER_BUFFER_SIZE)
+            from terran_tpu.config import get_config
+
+            self._queue = Queue(get_config().reader_buffer_batches)
             self._stop_signal = Event()
             self._thread = Thread(
                 args=(self._queue, self._stop_signal, cmd, spec),

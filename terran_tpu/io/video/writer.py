@@ -11,7 +11,7 @@ import subprocess
 from queue import Queue
 from threading import Thread
 
-from terran_tpu.io.video import DEFAULT_WRITER_BUFFER_SIZE, VideoClosed
+from terran_tpu.io.video import VideoClosed
 
 
 def _frame_writer(queue, cmd, error_sink):
@@ -110,21 +110,54 @@ class VideoWriter:
                 self.height, self.width = self.size_hint
 
             cmd = self._prepare_ffmpeg_cmd()
-            self._queue = Queue(DEFAULT_WRITER_BUFFER_SIZE)
+            from terran_tpu.config import get_config
+
+            self._queue = Queue(get_config().writer_buffer_frames)
             self._thread = Thread(
                 target=_frame_writer, args=(self._queue, cmd, self._errors)
             )
             self._thread.start()
 
-        self._queue.put((frame_or_func, *args))
+        # A dead writer thread (encoder failed to start or exited early)
+        # stops draining the bounded queue; blocking puts would deadlock the
+        # producer and bury the recorded error. Poll so the failure surfaces.
+        from queue import Full as QueueFull
+
+        while True:
+            if self._errors:
+                self._closed = True
+                raise self._errors[0]
+            try:
+                self._queue.put((frame_or_func, *args), timeout=0.5)
+                return
+            except QueueFull:
+                if not self._thread.is_alive():
+                    self._closed = True
+                    raise RuntimeError(
+                        "video writer thread exited unexpectedly"
+                    )
 
     def close(self):
         if self._closed:
             raise VideoClosed("The video has already been closed.")
-        if self._thread:
-            self._queue.put(None)
-            self._thread.join()
         self._closed = True
+        if self._thread:
+            from queue import Empty as QueueEmpty, Full as QueueFull
+
+            try:
+                self._queue.put(None, timeout=1.0)
+            except QueueFull:
+                # Thread is gone; drop queued frames so join can't hang.
+                try:
+                    while True:
+                        self._queue.get_nowait()
+                except QueueEmpty:
+                    pass
+                try:
+                    self._queue.put_nowait(None)
+                except QueueFull:
+                    pass
+            self._thread.join()
         if self._errors:
             raise self._errors[0]
 

@@ -295,12 +295,28 @@ def make_detect_fn(model: RetinaFace, height: int, width: int, *,
     threshold, valid_w, valid_h) to fixed-shape per-image detections:
     boxes (N, K, 4), landmarks (N, K, 5, 2), scores (N, K), mask (N, K).
 
-    ``valid_w``/``valid_h`` mask out anchors centred in right/bottom padding
-    when the pad-bucketing mode is active (pass width/height for a no-op).
+    ``valid_w``/``valid_h`` mask out anchors whose feature-map CELL lies
+    beyond the valid region when the pad-bucketing mode is active (pass
+    width/height for a no-op). The test is on cell indices, not anchor
+    centres: the reference evaluates every cell of its ceil-sized feature
+    maps (anchors_plane over ceil(H/stride) x ceil(W/stride),
+    wrapper.py:153-163), and the last cell's anchor centre can exceed the
+    image width whenever width % stride != 0 — masking by centre would
+    silently drop real edge detections even in exact mode.
     """
     anchors = anchors_for_shape(height, width)
-    anchor_cx = (anchors[:, 0] + anchors[:, 2]) / 2.0
-    anchor_cy = (anchors[:, 1] + anchors[:, 3]) / 2.0
+    # Per-anchor feature-map cell coordinates and stride, in image pixels.
+    cell_x, cell_y, cell_stride = [], [], []
+    for stride in FEATURE_STRIDES:
+        fh = -(-height // stride)
+        fw = -(-width // stride)
+        ys, xs = np.meshgrid(np.arange(fh), np.arange(fw), indexing="ij")
+        for arr, vals in ((cell_x, xs), (cell_y, ys)):
+            arr.append(np.repeat(vals.reshape(-1), NUM_ANCHORS))
+        cell_stride.append(np.full(fh * fw * NUM_ANCHORS, stride))
+    cell_x = np.concatenate(cell_x).astype(np.int32)
+    cell_y = np.concatenate(cell_y).astype(np.int32)
+    cell_stride = np.concatenate(cell_stride).astype(np.int32)
 
     @jax.jit
     def detect(params, images, threshold=0.5, valid_w=width, valid_h=height):
@@ -308,8 +324,13 @@ def make_detect_fn(model: RetinaFace, height: int, width: int, *,
         outputs = model.apply({"params": params}, x)
         scores, boxes, landmarks = decode_outputs(outputs, anchors)
 
-        in_bounds = (jnp.asarray(anchor_cx) < valid_w) & (
-            jnp.asarray(anchor_cy) < valid_h
+        # Cell valid iff its index < ceil(valid / stride) — exactly the
+        # cells the reference would evaluate for the unpadded size.
+        stride = jnp.asarray(cell_stride)
+        valid_cells_x = (valid_w + stride - 1) // stride
+        valid_cells_y = (valid_h + stride - 1) // stride
+        in_bounds = (jnp.asarray(cell_x) < valid_cells_x) & (
+            jnp.asarray(cell_y) < valid_cells_y
         )
         scores = jnp.where(in_bounds[None, :], scores, 0.0)
 

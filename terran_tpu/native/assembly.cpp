@@ -108,14 +108,22 @@ int assemble_humans(const float* peak_scores, const int* counts,
             double src_score = peak_scores[kpid_src * k + src_slot];
             double dst_score = peak_scores[kpid_dst * k + dst_slot];
 
-            int match1 = -1, match2 = -1;
+            // Count ALL matching humans: the Python/reference if/elif
+            // structure handles exactly 1 or exactly 2 matches and silently
+            // skips the connection otherwise (3+ is reachable after an
+            // overlap-conflict tiebreak leaves two humans sharing a peak),
+            // so breaking out at the second match would diverge.
+            int match1 = -1, match2 = -1, match_count = 0;
             for (size_t h = 0; h < humans.size(); ++h) {
                 if (humans[h][kpid_src] == peak_src ||
                     humans[h][kpid_dst] == peak_dst) {
                     if (match1 < 0) match1 = static_cast<int>(h);
-                    else { match2 = static_cast<int>(h); break; }
+                    else if (match2 < 0) match2 = static_cast<int>(h);
+                    ++match_count;
                 }
             }
+
+            if (match_count > 2) continue;
 
             if (match1 >= 0 && match2 < 0) {
                 std::vector<double>& human = humans[match1];

@@ -97,10 +97,21 @@ class TiledDetector:
         landmarks = np.stack(landmarks)
         scores = np.asarray(scores, dtype=np.float32)
 
-        # Merge overlap duplicates with one global NMS.
+        # Merge overlap duplicates with one global NMS. top_k is a static
+        # jit argument and the candidate count varies per frame, so pad the
+        # inputs to a power-of-two bucket and keep top_k fixed — otherwise
+        # every distinct detection count would compile a fresh program.
+        bucket = 1
+        while bucket < len(boxes):
+            bucket *= 2
+        if bucket > len(boxes):
+            pad = bucket - len(boxes)
+            boxes = np.concatenate([boxes, np.zeros((pad, 4), np.float32)])
+            scores = np.concatenate([scores, np.full(pad, -1, np.float32)])
+
         kb, ks, keep, order = nms_fixed(
             boxes, scores, self.nms_threshold,
-            score_threshold=threshold, top_k=min(self.top_k, len(boxes)),
+            score_threshold=threshold, top_k=self.top_k,
         )
         kb = np.asarray(kb)
         ks = np.asarray(ks, dtype=np.float32)

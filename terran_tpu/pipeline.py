@@ -50,11 +50,28 @@ class PerceptionPipeline:
     """
 
     def __init__(self, det_params=None, rec_params=None, pose_params=None,
-                 det_short_side=416, pose_short_side=184, threshold=0.5,
-                 nms_threshold=0.4, top_k=128, max_faces=16, max_peaks=32,
-                 compute_dtype=None, mesh=None, with_pose=True,
-                 with_embeddings=True, timer=None):
+                 det_short_side=None, pose_short_side=None, threshold=None,
+                 nms_threshold=None, top_k=None, max_faces=None,
+                 max_peaks=None, compute_dtype=None, mesh=None,
+                 with_pose=True, with_embeddings=True, timer=None):
         from terran_tpu.checkpoint import load_checkpoint_params
+        from terran_tpu.config import get_config
+
+        cfg = get_config()
+        det_short_side = (
+            cfg.detection_short_side if det_short_side is None
+            else det_short_side
+        )
+        pose_short_side = (
+            cfg.pose_short_side if pose_short_side is None else pose_short_side
+        )
+        threshold = cfg.detection_threshold if threshold is None else threshold
+        nms_threshold = (
+            cfg.nms_iou_threshold if nms_threshold is None else nms_threshold
+        )
+        top_k = cfg.pipeline_top_k if top_k is None else top_k
+        max_faces = cfg.pipeline_max_faces if max_faces is None else max_faces
+        max_peaks = cfg.max_peaks_per_part if max_peaks is None else max_peaks
 
         if det_params is None:
             det_params = load_checkpoint_params(
@@ -104,9 +121,9 @@ class PerceptionPipeline:
         self.timer = timer
 
         # Pose thresholds (reference openpose/wrapper.py:177-180).
-        self.keypoint_threshold = 0.1
-        self.thresh_midpoint = 0.05
-        self.human_threshold = 0.4
+        self.keypoint_threshold = cfg.keypoint_threshold
+        self.thresh_midpoint = cfg.paf_midpoint_threshold
+        self.human_threshold = cfg.human_score_threshold
 
     # ------------------------------------------------------------------
     # Jitted programs

@@ -5,6 +5,7 @@ from enum import Enum
 import numpy as np
 
 from terran_tpu.checkpoint import get_class_for_checkpoint
+from terran_tpu.config import get_config
 from terran_tpu.utils.batching import merge_factory
 
 TASK_NAME = "pose-estimation"
@@ -43,8 +44,10 @@ class Estimation:
     pose/__init__.py:131-223). Uses the shared merge util instead of the
     reference's duplicated copy (their TODO at pose/__init__.py:39-40)."""
 
-    def __init__(self, checkpoint=None, short_side=184, merge_method="padding",
+    def __init__(self, checkpoint=None, short_side=None, merge_method="padding",
                  device=None, lazy=False, **model_kwargs):
+        if short_side is None:
+            short_side = get_config().pose_short_side
         self.device = device
         self.short_side = short_side
         self.model_kwargs = model_kwargs

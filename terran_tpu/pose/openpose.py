@@ -10,6 +10,7 @@ back to the host, where greedy matching and human assembly finish the job.
 import numpy as np
 
 from terran_tpu.checkpoint import load_checkpoint_params
+from terran_tpu.config import get_config
 from terran_tpu.models.openpose import BodyPoseModel
 from terran_tpu.ops.pose_decode import make_pose_decode
 from terran_tpu.pose.assembly import assemble_humans, get_keypoints
@@ -21,8 +22,13 @@ class OpenPoseEstimator:
 
     CHECKPOINT_CLASS = "terran_tpu.pose.openpose.OpenPoseEstimator"
 
-    def __init__(self, params=None, short_side=184, compute_dtype=None,
-                 device=None, max_peaks=32):
+    def __init__(self, params=None, short_side=None, compute_dtype=None,
+                 device=None, max_peaks=None):
+        cfg = get_config()
+        short_side = cfg.pose_short_side if short_side is None else short_side
+        max_peaks = (
+            cfg.max_peaks_per_part if max_peaks is None else max_peaks
+        )
         if params is None:
             params = load_checkpoint_params(self.CHECKPOINT_CLASS)
         # Keep weights device-resident: converted params arrive as host numpy
@@ -39,10 +45,10 @@ class OpenPoseEstimator:
         self.short_side = short_side
         self.max_peaks = max_peaks
 
-        # Thresholds (reference wrapper.py:177-180).
-        self.keypoint_threshold = 0.1
-        self.thresh_2 = 0.05
-        self.human_threshold = 0.4
+        # Thresholds (reference wrapper.py:177-180), via the config.
+        self.keypoint_threshold = cfg.keypoint_threshold
+        self.thresh_2 = cfg.paf_midpoint_threshold
+        self.human_threshold = cfg.human_score_threshold
         self.downsampling_ratio = 8
 
         dtype = compute_dtype or default_policy().compute_dtype

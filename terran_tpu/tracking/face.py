@@ -290,7 +290,12 @@ def face_tracking(*, video=None, max_age=None, min_hits=None, detector=None,
 
     if detector is None:
         detector = face_detection
-    elif not isinstance(detector, Detection):
+    elif not isinstance(detector, Detection) and not hasattr(
+        detector, "_resolve"
+    ):
+        # The exported ``face_detection`` is a lazy proxy, not a Detection
+        # instance; accept it (and anything resolvable) like the reference
+        # accepts its real singleton.
         raise ValueError(
             "`detector` must be an instance of `terran_tpu.face.Detection`."
         )

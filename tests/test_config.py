@@ -28,3 +28,42 @@ def test_env_overrides():
     assert cfg.bucketing == "pad"
     # Untouched fields keep defaults.
     assert cfg.pose_short_side == 184
+
+
+def test_config_flows_into_runtime_defaults(monkeypatch):
+    """TERRAN_TPU_* env overrides actually change runtime behaviour."""
+    from terran_tpu import config as config_module
+    from terran_tpu.config import load_config
+
+    monkeypatch.setattr(
+        config_module, "_config",
+        load_config(env={
+            "TERRAN_TPU_DETECTION_SHORT_SIDE": "208",
+            "TERRAN_TPU_MAX_PEAKS_PER_PART": "12",
+            "TERRAN_TPU_DETECTION_TOP_K": "96",
+        }),
+    )
+
+    from terran_tpu.face.detection import RetinaFaceDetector
+    from terran_tpu.pose.openpose import OpenPoseEstimator
+    from terran_tpu.utils.convert import convert_openpose, convert_retinaface
+    from torch_oracle import (
+        random_openpose_state_dict, random_retinaface_state_dict,
+    )
+
+    import numpy as np
+
+    rf = RetinaFaceDetector(
+        params=convert_retinaface(
+            random_retinaface_state_dict(np.random.default_rng(0))
+        )
+    )
+    assert rf.top_k == 96
+
+    op = OpenPoseEstimator(
+        params=convert_openpose(
+            random_openpose_state_dict(np.random.default_rng(0))
+        )
+    )
+    assert op.max_peaks == 12
+    assert op.short_side == 184  # untouched default

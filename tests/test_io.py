@@ -288,3 +288,16 @@ def test_open_image_grayscale_promoted(tmp_path):
     got = open_image(path)
     assert got.shape == (5, 7, 3)
     np.testing.assert_array_equal(got[..., 0], got[..., 1])
+
+
+def test_writer_dead_thread_does_not_deadlock(tmp_path, monkeypatch):
+    """A failed encoder must surface as an error, not a blocked producer."""
+    writer = VideoWriter(tmp_path / "out.mp4", framerate=10)
+    monkeypatch.setattr(
+        writer, "_prepare_ffmpeg_cmd", lambda: ["/nonexistent-binary-xyz"]
+    )
+    frame = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(Exception):
+        # Bounded queue holds 64; a dead consumer must raise, not block.
+        for _ in range(200):
+            writer.write_frame(frame)

@@ -84,3 +84,22 @@ def test_native_speedup_sanity(rng):
                              use_native=True)
     native_time = time.perf_counter() - t0
     assert native_time < py_time
+
+
+def test_assemble_humans_matches_python_dense(rng):
+    """Dense acceptance maps produce frequent merge/tiebreak conflicts,
+    including 3+ humans matching one connection — the regime where a C++
+    shortcut (breaking at the second match) diverged from the reference's
+    skip semantics."""
+    for trial in range(30):
+        coords, scores, valid, reg, accept = random_decode_outputs(
+            rng, k=10, peak_prob=0.9, accept_prob=0.7
+        )
+        _, expected = assembly.assemble_humans(
+            coords, scores, valid, reg, accept, use_native=False
+        )
+        _, got = assembly.assemble_humans(
+            coords, scores, valid, reg, accept, use_native=True
+        )
+        assert got.shape == expected.shape, trial
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)

@@ -110,3 +110,17 @@ def test_recognition_task_expansion(recognizer, rng):
     # Mismatched ranks raise.
     with pytest.raises(ValueError):
         task([image, image], [[_face_at(60, 60)]])
+
+
+def test_single_image_without_faces_embeds_whole_image(recognizer, rng):
+    """extract_features(image) with no faces arg embeds the whole image via
+    the no-landmark path (regression: the expansion used to wrap None into
+    [None] and silently return a (0, 512) array)."""
+    _, rec = recognizer
+    task = Recognition.__new__(Recognition)
+    task.device = None
+    task.model = rec
+    image = rng.integers(0, 255, (90, 70, 3), dtype=np.uint8)
+    out = task(image)
+    assert out.shape == (512,)
+    np.testing.assert_allclose(np.linalg.norm(out), 1.0, rtol=1e-4)

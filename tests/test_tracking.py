@@ -136,3 +136,12 @@ def test_face_tracking_end_to_end_on_frames():
     # Single frame -> flat list.
     single = tracking(np.zeros((32, 32, 3), np.uint8))
     assert isinstance(single, list) and single[0]["track"] is not None
+
+
+def test_face_tracking_accepts_lazy_proxy():
+    """Passing the exported face_detection proxy explicitly must work like
+    the reference's real singleton (regression: isinstance rejected it)."""
+    from terran_tpu.face.detection import face_detection as proxy
+
+    tracking = face_tracking(detector=proxy, max_age=5, min_hits=1)
+    assert tracking.detector is proxy

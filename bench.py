@@ -141,8 +141,8 @@ def main():
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        for batch in batches:
-            pipeline.process_batch(batch)
+        for _out in pipeline.process_stream(batches):
+            pass
         best = min(best, time.time() - t0)
     fps = batch_size * num_batches / best
 

@@ -293,6 +293,20 @@ class PerceptionPipeline:
                 return contextlib.nullcontext()
             return self.timer.stage(name, items)
 
+        return self._finalize(*self._dispatch(frames, stage), stage)
+
+    def _dispatch(self, frames, stage=None):
+        """Enqueue all device work for one batch without synchronising.
+
+        Returns (out dict of in-flight device arrays, pose tuple or None,
+        n, pose_scale).
+        """
+        import contextlib
+
+        if stage is None:
+            def stage(name, items=0):
+                return contextlib.nullcontext()
+
         frames = np.asarray(frames)
         n = frames.shape[0]
         if self.mesh is not None:
@@ -316,14 +330,33 @@ class PerceptionPipeline:
             if hasattr(v, "copy_to_host_async"):
                 v.copy_to_host_async()
 
+        pose_out = None
+        pose_scale = None
         if self.with_pose and self.pose_params is not None:
             _, _, pose_scale = resized_shape(
                 full_h, full_w, self.pose_short_side
             )
             decode = self._pose_fn(full_h, full_w)
-            with stage("pose_decode", items=n):
+            with stage("pose_dispatch", items=n):
+                pose_out = decode(self.pose_params, frames_dev)
+                for v in pose_out:
+                    if hasattr(v, "copy_to_host_async"):
+                        v.copy_to_host_async()
+
+        return out, pose_out, n, pose_scale
+
+    def _finalize(self, out, pose_out, n, pose_scale, stage=None):
+        """Fetch results and run the host stages for a dispatched batch."""
+        import contextlib
+
+        if stage is None:
+            def stage(name, items=0):
+                return contextlib.nullcontext()
+
+        if pose_out is not None:
+            with stage("pose_fetch", items=n):
                 coords, scores, valid, reg, accept = map(
-                    np.asarray, decode(self.pose_params, frames_dev)
+                    np.asarray, pose_out
                 )
             with stage("pose_assembly", items=n):
                 poses = []
@@ -343,6 +376,21 @@ class PerceptionPipeline:
             if key in out:
                 out[key] = np.asarray(out[key])[:n]
         return out
+
+    def process_stream(self, batches):
+        """Software-pipelined batch processing: batch i+1's device work
+        (upload + all three programs) is dispatched before batch i's host
+        stages run, so transfers and TPU compute overlap host
+        fetch/assembly. Yields one result dict per input batch, in order.
+        """
+        pending = None
+        for frames in batches:
+            dispatched = self._dispatch(frames)
+            if pending is not None:
+                yield self._finalize(*pending)
+            pending = dispatched
+        if pending is not None:
+            yield self._finalize(*pending)
 
     def faces_from(self, out):
         """Convert step outputs to the task-API list-of-dicts contract."""

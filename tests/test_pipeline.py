@@ -134,3 +134,21 @@ def test_shard_batch_places_across_devices(rng):
     assert len(sharded.addressable_shards) == 8
     assert sharded.addressable_shards[0].data.shape == (2, 4)
     np.testing.assert_array_equal(np.asarray(sharded), batch)
+
+
+def test_process_stream_matches_process_batch(tiny_pipeline_params, rng):
+    """The software-pipelined path yields the same results per batch."""
+    pipe = _make_pipeline(tiny_pipeline_params)
+    batches = [
+        rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    streamed = list(pipe.process_stream(batches))
+    assert len(streamed) == 3
+    for frames, out in zip(batches, streamed):
+        direct = pipe.process_batch(frames)
+        np.testing.assert_array_equal(out["mask"], direct["mask"])
+        np.testing.assert_array_equal(out["boxes"], direct["boxes"])
+        assert len(out["poses"]) == len(direct["poses"])
+        for a, b in zip(out["poses"], direct["poses"]):
+            assert len(a) == len(b)

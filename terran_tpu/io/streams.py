@@ -93,7 +93,13 @@ class MultiStreamPerception:
 
     def __iter__(self):
         """Yield per-batch lists of result dicts:
-        {stream, frame, faces, embeddings, pose}."""
+        {stream, frame, faces, embeddings, pose}.
+
+        Software-pipelined like ``PerceptionPipeline.process_stream``: the
+        next batch's device work is dispatched before this batch's host
+        stages (pose assembly, tracking) run.
+        """
+        pending = None
         for frames, meta in self.mux:
             # Pad trailing partial batches to the fixed batch size so they
             # reuse the compiled program instead of triggering a fresh
@@ -103,21 +109,29 @@ class MultiStreamPerception:
                 frames = np.concatenate(
                     [frames, np.repeat(frames[-1:], pad, axis=0)]
                 )
-            out = self.pipeline.process_batch(frames)
-            faces_per_frame = self.pipeline.faces_from(out)
-            results = []
-            for slot, (stream_idx, frame_idx) in enumerate(meta):
-                faces = faces_per_frame[slot]
-                if self.track:
-                    faces = self.trackers[stream_idx].update(faces)
-                results.append({
-                    "stream": stream_idx,
-                    "frame": frame_idx,
-                    "faces": faces,
-                    "embeddings": (
-                        out["embeddings"][slot][out["embeddings_mask"][slot]]
-                        if "embeddings" in out else None
-                    ),
-                    "pose": out["poses"][slot] if "poses" in out else None,
-                })
-            yield results
+            dispatched = self.pipeline._dispatch(frames)
+            if pending is not None:
+                yield self._results(*pending)
+            pending = (dispatched, meta)
+        if pending is not None:
+            yield self._results(*pending)
+
+    def _results(self, dispatched, meta):
+        out = self.pipeline._finalize(*dispatched)
+        faces_per_frame = self.pipeline.faces_from(out)
+        results = []
+        for slot, (stream_idx, frame_idx) in enumerate(meta):
+            faces = faces_per_frame[slot]
+            if self.track:
+                faces = self.trackers[stream_idx].update(faces)
+            results.append({
+                "stream": stream_idx,
+                "frame": frame_idx,
+                "faces": faces,
+                "embeddings": (
+                    out["embeddings"][slot][out["embeddings_mask"][slot]]
+                    if "embeddings" in out else None
+                ),
+                "pose": out["poses"][slot] if "poses" in out else None,
+            })
+        return results

@@ -109,7 +109,7 @@ class MultiStreamPerception:
                 frames = np.concatenate(
                     [frames, np.repeat(frames[-1:], pad, axis=0)]
                 )
-            dispatched = self.pipeline._dispatch(frames)
+            dispatched = self.pipeline.dispatch_batch(frames)
             if pending is not None:
                 yield self._results(*pending)
             pending = (dispatched, meta)
@@ -117,7 +117,7 @@ class MultiStreamPerception:
             yield self._results(*pending)
 
     def _results(self, dispatched, meta):
-        out = self.pipeline._finalize(*dispatched)
+        out = self.pipeline.finalize_batch(*dispatched)
         faces_per_frame = self.pipeline.faces_from(out)
         results = []
         for slot, (stream_idx, frame_idx) in enumerate(meta):

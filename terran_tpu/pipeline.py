@@ -293,9 +293,9 @@ class PerceptionPipeline:
                 return contextlib.nullcontext()
             return self.timer.stage(name, items)
 
-        return self._finalize(*self._dispatch(frames, stage), stage)
+        return self.finalize_batch(*self.dispatch_batch(frames, stage), stage)
 
-    def _dispatch(self, frames, stage=None):
+    def dispatch_batch(self, frames, stage=None):
         """Enqueue all device work for one batch without synchronising.
 
         Returns (out dict of in-flight device arrays, pose tuple or None,
@@ -345,7 +345,7 @@ class PerceptionPipeline:
 
         return out, pose_out, n, pose_scale
 
-    def _finalize(self, out, pose_out, n, pose_scale, stage=None):
+    def finalize_batch(self, out, pose_out, n, pose_scale, stage=None):
         """Fetch results and run the host stages for a dispatched batch."""
         import contextlib
 
@@ -385,12 +385,12 @@ class PerceptionPipeline:
         """
         pending = None
         for frames in batches:
-            dispatched = self._dispatch(frames)
+            dispatched = self.dispatch_batch(frames)
             if pending is not None:
-                yield self._finalize(*pending)
+                yield self.finalize_batch(*pending)
             pending = dispatched
         if pending is not None:
-            yield self._finalize(*pending)
+            yield self.finalize_batch(*pending)
 
     def faces_from(self, out):
         """Convert step outputs to the task-API list-of-dicts contract."""

@@ -4,14 +4,21 @@ This is the framework's high-throughput video path (BASELINE config 5:
 detect+embed+pose over concurrent 1080p streams). Where the reference runs
 five host<->device round trips per batch (detection forward, NMS output
 download, per-face host alignment, embedding upload/download, pose decode
-loop — see SURVEY §3), here TWO jitted programs run per batch:
+loop — see SURVEY §3), here THREE jitted programs run per batch with no
+intermediate host round trips:
 
-1. ``perception_step``: RetinaFace forward + anchor decode + masked NMS,
-   landmark rescale + rounding, on-device Umeyama alignment + bilinear
-   warps from the full-resolution frames, and the ArcFace embedding of the
-   top-``max_faces`` crops — one compilation, zero host round trips.
-2. ``pose decode`` (``terran_tpu.ops.pose_decode``): CPM forward + bicubic
+1. ``perception_step``: on-device resize, RetinaFace forward + anchor
+   decode + masked NMS, landmark rescale + rounding, on-device Umeyama
+   alignment + bilinear warps of the top-``max_faces`` crops from the
+   full-resolution frames.
+2. ``embed``: ArcFace forward + L2 normalisation of the aligned crops
+   (split out so no single compile unit is huge; crops pass
+   device-to-device).
+3. ``pose decode`` (``terran_tpu.ops.pose_decode``): CPM forward + bicubic
    upsample + peak finding + PAF integrals.
+
+``process_stream`` software-pipelines batches: the next batch's programs
+are dispatched before this batch's host stages run.
 
 Only fixed-shape result arrays return to the host (boxes, landmarks,
 scores, masks, embeddings, pose peak/limb tables), where the tiny

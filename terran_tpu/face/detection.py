@@ -16,7 +16,7 @@ import numpy as np
 from terran_tpu.checkpoint import get_class_for_checkpoint, load_checkpoint_params
 from terran_tpu.config import get_config
 from terran_tpu.models.retinaface import RetinaFace as RetinaFaceModel
-from terran_tpu.models.retinaface import make_detect_fn
+from terran_tpu.models.retinaface import make_detect_fn, unpack_detections
 from terran_tpu.runtime import bucket_shape, default_policy
 from terran_tpu.utils.batching import merge_factory, resize_factory
 
@@ -88,13 +88,9 @@ class RetinaFaceDetector:
             images = padded
 
         detect = self._detect_fn(bh, bw)
-        boxes, landmarks, scores, mask = detect(
-            self.params, images, threshold, w, h
-        )
-        boxes = np.asarray(boxes)
-        landmarks = np.asarray(landmarks)
-        scores = np.asarray(scores, dtype=np.float32)
-        mask = np.asarray(mask)
+        packed = np.asarray(detect(self.params, images, threshold, w, h))
+        boxes, landmarks, scores, mask = unpack_detections(packed)
+        scores = scores.astype(np.float32)
 
         batch_objects = []
         for i in range(n):

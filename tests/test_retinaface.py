@@ -8,7 +8,7 @@ import pytest
 
 from terran_tpu.models.retinaface import (
     RetinaFace, anchor_reference, anchors_for_shape, decode_outputs,
-    make_detect_fn,
+    make_detect_fn, unpack_detections,
 )
 from terran_tpu.utils.convert import convert_retinaface
 from torch_oracle import random_retinaface_state_dict, retinaface_forward
@@ -140,7 +140,9 @@ def test_detect_fn_shapes(converted):
     model = RetinaFace()
     detect = make_detect_fn(model, 64, 96, top_k=32)
     images = np.zeros((2, 64, 96, 3), np.uint8)
-    boxes, lmks, scores, mask = detect(params, images, 0.5)
+    boxes, lmks, scores, mask = unpack_detections(
+        np.asarray(detect(params, images, 0.5))
+    )
     assert boxes.shape == (2, 32, 4)
     assert lmks.shape == (2, 32, 5, 2)
     assert scores.shape == (2, 32)

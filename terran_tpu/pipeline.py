@@ -187,11 +187,21 @@ class PerceptionPipeline:
             boxes_full = jnp.round(boxes * inv_scale).astype(jnp.int32)
             lmk_full = jnp.round(landmarks * inv_scale).astype(jnp.int32)
 
+            # One packed array -> one d2h transfer for all detection
+            # results (each round trip costs ~25 ms through a tunneled
+            # runtime). Layout: 4 box + 10 landmark + score + mask.
             result = {
-                "boxes": boxes_full,
-                "landmarks": lmk_full,
-                "scores": scores,
-                "mask": mask,
+                "det_packed": jnp.concatenate(
+                    [
+                        boxes_full.astype(jnp.float32),
+                        lmk_full.reshape(
+                            lmk_full.shape[0], lmk_full.shape[1], 10
+                        ).astype(jnp.float32),
+                        scores[..., None],
+                        mask[..., None].astype(jnp.float32),
+                    ],
+                    axis=-1,
+                )
             }
 
             if with_embeddings:
@@ -205,7 +215,7 @@ class PerceptionPipeline:
                     lambda img, m: warp_affine_batch(img, m)
                 )(frames_full, mats)  # (B, F, 112, 112, 3)
                 result["crops"] = jnp.round(crops)  # reference warps to uint8
-                result["embeddings_mask"] = mask[:, :max_faces]
+                result["emb_mask_dev"] = mask[:, :max_faces]
 
             return result
 
@@ -228,7 +238,11 @@ class PerceptionPipeline:
             )
             feats = normalize_embeddings(feats.astype(jnp.float32))
             feats = feats.reshape(b, f, -1)
-            return jnp.where(emb_mask[..., None], feats, 0.0)
+            feats = jnp.where(emb_mask[..., None], feats, 0.0)
+            # Pack embeddings + mask: one transfer.
+            return jnp.concatenate(
+                [feats, emb_mask[..., None].astype(jnp.float32)], axis=-1
+            )
 
         self._embed_jit = jax.jit(embed, **self._sharding_kwargs(
             num_batch_args=2, num_param_args=1,
@@ -264,7 +278,20 @@ class PerceptionPipeline:
                 reg, accept = limb_scores(
                     paf_i, coords, valid, self.thresh_midpoint
                 )
-                return coords, scores, valid, reg, accept
+                # Pack: peaks (P, K, 4) = y, x, score, valid;
+                # limbs (L, K, K, 2) = reg, accept. Two transfers total.
+                peaks = jnp.concatenate(
+                    [
+                        coords.astype(jnp.float32),
+                        scores[..., None],
+                        valid[..., None].astype(jnp.float32),
+                    ],
+                    axis=-1,
+                )
+                limbs = jnp.stack(
+                    [reg, accept.astype(jnp.float32)], axis=-1
+                )
+                return peaks, limbs
 
             return jax.vmap(per_image)(paf, heat)
 
@@ -328,9 +355,9 @@ class PerceptionPipeline:
             out = dict(step(self.det_params, self.rec_params, frames_dev))
         if "crops" in out:
             with stage("embed", items=n):
-                out["embeddings"] = self._embed_fn()(
+                out["emb_packed"] = self._embed_fn()(
                     self.rec_params, out.pop("crops"),
-                    out["embeddings_mask"],
+                    out.pop("emb_mask_dev"),
                 )
         # Start result transfers while the pose program runs.
         for v in out.values():
@@ -362,9 +389,12 @@ class PerceptionPipeline:
 
         if pose_out is not None:
             with stage("pose_fetch", items=n):
-                coords, scores, valid, reg, accept = map(
-                    np.asarray, pose_out
-                )
+                peaks, limbs = map(np.asarray, pose_out)
+                coords = peaks[..., :2].astype(np.int32)
+                scores = peaks[..., 2]
+                valid = peaks[..., 3] > 0.5
+                reg = limbs[..., 0]
+                accept = limbs[..., 1] > 0.5
             with stage("pose_assembly", items=n):
                 poses = []
                 for i in range(n):
@@ -377,11 +407,19 @@ class PerceptionPipeline:
                     )
                 out["poses"] = poses
 
-        # Trim mesh padding.
-        for key in ("boxes", "landmarks", "scores", "mask", "embeddings",
-                    "embeddings_mask"):
-            if key in out:
-                out[key] = np.asarray(out[key])[:n]
+        # Unpack the single-transfer arrays and trim mesh padding.
+        det = np.asarray(out.pop("det_packed"))[:n]
+        k = det.shape[1]
+        out["boxes"] = det[..., :4].astype(np.int32)
+        out["landmarks"] = det[..., 4:14].reshape(n, k, 5, 2).astype(np.int32)
+        out["scores"] = det[..., 14].astype(np.float32)
+        out["mask"] = det[..., 15] > 0.5
+        if "emb_packed" in out:
+            emb = np.asarray(out.pop("emb_packed"))[:n]
+            out["embeddings"] = emb[..., :-1]
+            out["embeddings_mask"] = emb[..., -1] > 0.5
+        if "poses" in out:
+            out["poses"] = out["poses"][:n]
         return out
 
     def process_stream(self, batches):

@@ -1,8 +1,8 @@
 """Visualization utilities (ref: /root/reference/terran/vis/__init__.py).
 
-Colormaps, marker scaling, pose topology/colors, ``display_image`` and the
-backend selection: Cairo when pycairo is importable, Pillow otherwise
-(reference vis/__init__.py:163-170).
+Colormaps, marker scaling, the pose connection topology and its colour
+scheme, ``display_image``, and backend selection (Cairo when pycairo is
+importable, Pillow otherwise).
 """
 
 import random
@@ -14,6 +14,7 @@ from PIL import Image
 
 from terran_tpu.pose import Keypoint
 
+# Marker scale by image area (largest matching area wins).
 MARKER_SCALES = [
     (1920 * 1080, 1.8),
     (1280 * 720, 1.5),
@@ -23,50 +24,55 @@ MARKER_SCALES = [
 
 
 def display_image(image):
-    """Display via `feh`, falling back to matplotlib
-    (ref vis/__init__.py:19-59)."""
+    """Show an image with `feh`, falling back to matplotlib."""
     if isinstance(image, np.ndarray):
         image = Image.fromarray(image)
 
     buf = BytesIO()
     image.save(buf, format="png")
-    buf.seek(0)
 
     try:
-        run(["feh", "-"], input=buf.read())
+        run(["feh", "-"], input=buf.getvalue())
+        return
     except (FileNotFoundError, SubprocessError):
-        try:
-            import matplotlib.pyplot as plt
+        pass
 
-            plt.imshow(image)
-            plt.show()
-        except ImportError:
-            raise Exception(
-                "Unable to find a suitable backend to display an image. "
-                "Tried `feh` and `matplotlib`. Install either in order to "
-                "use this function."
-            )
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError:
+        raise Exception(
+            "Unable to find a suitable backend to display an image. "
+            "Tried `feh` and `matplotlib`. Install either in order to use "
+            "this function."
+        )
+    plt.imshow(image)
+    plt.show()
 
 
-def hex_to_rgb(x):
-    return tuple(int(x[i: i + 2], 16) for i in (0, 2, 4))
+def hex_to_rgb(code):
+    return tuple(int(code[i: i + 2], 16) for i in (0, 2, 4))
+
+
+# The default 10-colour categorical d3 palette.
+_D3_PALETTE = [
+    "1f77b4", "ff7f0e", "2ca02c", "d62728", "9467bd",
+    "8c564b", "e377c2", "7f7f7f", "bcbd22", "17becf",
+]
 
 
 def build_colormap():
-    """Label->color mapping over the d3 10-color palette with label memory
-    (ref vis/__init__.py:67-96)."""
-    palette = "1f77b4ff7f0e2ca02cd627289467bd8c564be377c27f7f7fbcbd2217becf"
-    colors = [
-        hex_to_rgb(palette[i: i + 6]) for i in range(0, len(palette), 6)
-    ]
-    seen_labels = {}
+    """Label -> colour mapping with memory: the same label always maps to
+    the same colour; unseen labels take the next palette entry; ``None``
+    draws a random colour."""
+    colors = [hex_to_rgb(code) for code in _D3_PALETTE]
+    assigned = {}
 
     def colormap(label=None):
         if label is None:
             return random.choice(colors)
-        if label not in seen_labels:
-            seen_labels[label] = colors[len(seen_labels) % len(colors)]
-        return seen_labels[label]
+        if label not in assigned:
+            assigned[label] = colors[len(assigned) % len(colors)]
+        return assigned[label]
 
     return colormap
 
@@ -74,62 +80,46 @@ def build_colormap():
 FACE_COLORMAP = build_colormap()
 
 
-POSE_CONNECTIONS = [
-    (Keypoint.NOSE, Keypoint.NECK),
-    (Keypoint.NOSE, Keypoint.R_EYE), (Keypoint.R_EYE, Keypoint.R_EAR),
-    (Keypoint.NOSE, Keypoint.L_EYE), (Keypoint.L_EYE, Keypoint.L_EAR),
+# Pose skeleton: (connection, connection colour) pairs in draw order, plus
+# a colour per keypoint. Head warm-toned, right side greens/reds, left side
+# blues/ochres.
+_K = Keypoint
+_SKELETON = [
+    ((_K.NOSE, _K.NECK), "e6550d"),
+    ((_K.NOSE, _K.R_EYE), "fd8d3c"),
+    ((_K.R_EYE, _K.R_EAR), "fdae6b"),
+    ((_K.NOSE, _K.L_EYE), "843c39"),
+    ((_K.L_EYE, _K.L_EAR), "ad494a"),
 
-    (Keypoint.NECK, Keypoint.R_SHOULDER),
-    (Keypoint.R_SHOULDER, Keypoint.R_ELBOW),
-    (Keypoint.R_ELBOW, Keypoint.R_HAND),
+    ((_K.NECK, _K.R_SHOULDER), "637939"),
+    ((_K.R_SHOULDER, _K.R_ELBOW), "8ca252"),
+    ((_K.R_ELBOW, _K.R_HAND), "b5cf6b"),
+    ((_K.NECK, _K.R_HIP), "843c39"),
+    ((_K.R_HIP, _K.R_KNEE), "ad494a"),
+    ((_K.R_KNEE, _K.R_FOOT), "d6616b"),
 
-    (Keypoint.NECK, Keypoint.R_HIP),
-    (Keypoint.R_HIP, Keypoint.R_KNEE),
-    (Keypoint.R_KNEE, Keypoint.R_FOOT),
-
-    (Keypoint.NECK, Keypoint.L_SHOULDER),
-    (Keypoint.L_SHOULDER, Keypoint.L_ELBOW),
-    (Keypoint.L_ELBOW, Keypoint.L_HAND),
-
-    (Keypoint.NECK, Keypoint.L_HIP),
-    (Keypoint.L_HIP, Keypoint.L_KNEE),
-    (Keypoint.L_KNEE, Keypoint.L_FOOT),
+    ((_K.NECK, _K.L_SHOULDER), "3182bd"),
+    ((_K.L_SHOULDER, _K.L_ELBOW), "6baed6"),
+    ((_K.L_ELBOW, _K.L_HAND), "9ecae1"),
+    ((_K.NECK, _K.L_HIP), "8c6d31"),
+    ((_K.L_HIP, _K.L_KNEE), "bd9e39"),
+    ((_K.L_KNEE, _K.L_FOOT), "e7ba52"),
 ]
 
+POSE_CONNECTIONS = [conn for conn, _ in _SKELETON]
+POSE_CONNECTION_COLORS = [hex_to_rgb(code) for _, code in _SKELETON]
 
-POSE_CONNECTION_COLORS = list(map(hex_to_rgb, [
-    # Head.
-    "e6550d", "fd8d3c", "fdae6b", "843c39", "ad494a",
-    # Right side.
-    "637939", "8ca252", "b5cf6b",
-    "843c39", "ad494a", "d6616b",
-    # Left side.
-    "3182bd", "6baed6", "9ecae1",
-    "8c6d31", "bd9e39", "e7ba52",
-]))
-
-
+_KEYPOINT_COLOR_CODES = {
+    _K.NOSE: "e6550d", _K.NECK: "fd8d3c",
+    _K.R_EYE: "fdae6b", _K.L_EYE: "843c39",
+    _K.R_EAR: "ad494a", _K.L_EAR: "d6616b",
+    _K.R_SHOULDER: "637939", _K.R_ELBOW: "8ca252", _K.R_HAND: "b5cf6b",
+    _K.R_HIP: "843c39", _K.R_KNEE: "ad494a", _K.R_FOOT: "d6616b",
+    _K.L_SHOULDER: "3182bd", _K.L_ELBOW: "6baed6", _K.L_HAND: "9ecae1",
+    _K.L_HIP: "8c6d31", _K.L_KNEE: "bd9e39", _K.L_FOOT: "e7ba52",
+}
 POSE_KEYPOINT_COLORS = {
-    Keypoint.NOSE: hex_to_rgb("e6550d"),
-    Keypoint.NECK: hex_to_rgb("fd8d3c"),
-    Keypoint.R_EYE: hex_to_rgb("fdae6b"),
-    Keypoint.L_EYE: hex_to_rgb("843c39"),
-    Keypoint.R_EAR: hex_to_rgb("ad494a"),
-    Keypoint.L_EAR: hex_to_rgb("d6616b"),
-
-    Keypoint.R_SHOULDER: hex_to_rgb("637939"),
-    Keypoint.R_ELBOW: hex_to_rgb("8ca252"),
-    Keypoint.R_HAND: hex_to_rgb("b5cf6b"),
-    Keypoint.R_HIP: hex_to_rgb("843c39"),
-    Keypoint.R_KNEE: hex_to_rgb("ad494a"),
-    Keypoint.R_FOOT: hex_to_rgb("d6616b"),
-
-    Keypoint.L_SHOULDER: hex_to_rgb("3182bd"),
-    Keypoint.L_ELBOW: hex_to_rgb("6baed6"),
-    Keypoint.L_HAND: hex_to_rgb("9ecae1"),
-    Keypoint.L_HIP: hex_to_rgb("8c6d31"),
-    Keypoint.L_KNEE: hex_to_rgb("bd9e39"),
-    Keypoint.L_FOOT: hex_to_rgb("e7ba52"),
+    kp: hex_to_rgb(code) for kp, code in _KEYPOINT_COLOR_CODES.items()
 }
 
 

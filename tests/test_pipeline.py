@@ -152,3 +152,19 @@ def test_process_stream_matches_process_batch(tiny_pipeline_params, rng):
         assert len(out["poses"]) == len(direct["poses"])
         for a, b in zip(out["poses"], direct["poses"]):
             assert len(a) == len(b)
+
+
+def test_process_stream_with_mesh(tiny_pipeline_params, rng):
+    """Streamed + sharded execution matches single-device process_batch."""
+    mesh = create_mesh(8)
+    pipe = _make_pipeline(tiny_pipeline_params, mesh=mesh)
+    single = _make_pipeline(tiny_pipeline_params)
+    batches = [
+        rng.integers(0, 255, (8, 96, 128, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    streamed = list(pipe.process_stream(batches))
+    for frames, out in zip(batches, streamed):
+        direct = single.process_batch(frames)
+        np.testing.assert_array_equal(out["mask"], direct["mask"])
+        np.testing.assert_array_equal(out["boxes"], direct["boxes"])

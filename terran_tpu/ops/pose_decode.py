@@ -172,8 +172,31 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
                 heat_i[..., :NUM_PARTS], keypoint_threshold, max_peaks
             )
             reg, accept = limb_scores(paf_i, coords, valid, thresh_midpoint)
-            return coords, scores, valid, reg, accept
+            # Two packed arrays -> two d2h transfers (round trips through
+            # tunneled runtimes cost ~25 ms each): peaks (P, K, 4) holds
+            # (y, x, score, valid); limbs (L, K, K, 2) holds (reg, accept).
+            peaks = jnp.concatenate(
+                [
+                    coords.astype(jnp.float32),
+                    scores[..., None],
+                    valid[..., None].astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+            limbs = jnp.stack([reg, accept.astype(jnp.float32)], axis=-1)
+            return peaks, limbs
 
         return jax.vmap(per_image)(paf, heat)
 
     return decode
+
+
+def unpack_pose_outputs(peaks, limbs):
+    """Split packed decode outputs back into
+    (coords int32, scores, valid bool, reg, accept bool)."""
+    coords = peaks[..., :2].astype(np.int32)
+    scores = peaks[..., 2]
+    valid = peaks[..., 3] > 0.5
+    reg = limbs[..., 0]
+    accept = limbs[..., 1] > 0.5
+    return coords, scores, valid, reg, accept

@@ -389,12 +389,11 @@ class PerceptionPipeline:
 
         if pose_out is not None:
             with stage("pose_fetch", items=n):
-                peaks, limbs = map(np.asarray, pose_out)
-                coords = peaks[..., :2].astype(np.int32)
-                scores = peaks[..., 2]
-                valid = peaks[..., 3] > 0.5
-                reg = limbs[..., 0]
-                accept = limbs[..., 1] > 0.5
+                from terran_tpu.ops.pose_decode import unpack_pose_outputs
+
+                coords, scores, valid, reg, accept = unpack_pose_outputs(
+                    *map(np.asarray, pose_out)
+                )
             with stage("pose_assembly", items=n):
                 poses = []
                 for i in range(n):

@@ -81,12 +81,12 @@ class OpenPoseEstimator:
         n, h, w = resized.shape[:3]
 
         decode = self._decode_fn(h, w)
-        coords, scores, valid, reg, accept = decode(self.params, resized)
-        coords = np.asarray(coords)
-        scores = np.asarray(scores)
-        valid = np.asarray(valid)
-        reg = np.asarray(reg)
-        accept = np.asarray(accept)
+        peaks, limbs = decode(self.params, resized)
+        from terran_tpu.ops.pose_decode import unpack_pose_outputs
+
+        coords, scores, valid, reg, accept = unpack_pose_outputs(
+            np.asarray(peaks), np.asarray(limbs)
+        )
 
         batch_objects = []
         for i in range(n):

@@ -154,9 +154,9 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
                      downsampling_ratio=8):
     """Build the jitted batched decode for a fixed preprocessed input shape.
 
-    Maps (params, images (N, H, W, 3) uint8/float RGB) to
-    (peak coords (N, P, K, 2), peak scores (N, P, K), peak valid (N, P, K),
-    limb reg scores (N, L, K, K), limb accept (N, L, K, K)).
+    Maps (params, images (N, H, W, 3) uint8/float RGB) to two packed arrays
+    — peaks (N, P, K, 4) = (y, x, score, valid) and limbs (N, L, K, K, 2) =
+    (reg_score, accept) — splittable with :func:`unpack_pose_outputs`.
     """
     from terran_tpu.ops.upsample import upsample_bicubic
 

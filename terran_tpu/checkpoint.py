@@ -244,36 +244,64 @@ def download_remote_checkpoint(db, checkpoint, retries=3):
 
 
 # ---------------------------------------------------------------------------
-# CLI (ref :380-508)
+# CLI. Same command surface as the reference (list/info/download/delete,
+# ref :380-508) plus `convert`; the presentation below is this framework's
+# own (content-sized columns, field tables) rather than the reference's
+# fixed templates.
 # ---------------------------------------------------------------------------
+
+def _columns(rows, min_widths):
+    """Per-column widths sized to content (with floors)."""
+    widths = list(min_widths)
+    for row in rows:
+        for i, cell in enumerate(row):
+            widths[i] = max(widths[i], len(str(cell)))
+    return widths
+
+
+def _grid_row(cells, widths):
+    return "  ".join(str(c).ljust(w) for c, w in zip(cells, widths)).rstrip()
+
 
 @click.command(name="list", help="List available checkpoints.")
 def list_cmd():
-    from itertools import groupby
-
     db = read_checkpoint_db()
     if not db["checkpoints"]:
         click.echo("No checkpoints available.")
         return
 
-    template = "| {:>30} | {:>12} | {:>8} | {:>8} | {:>14} |"
-    header = template.format("Name", "Alias", "Eval.", "Perf.", "Status")
-    click.echo("=" * len(header))
-    click.echo(header)
+    by_task = {}
+    for checkpoint in db["checkpoints"]:
+        by_task.setdefault(checkpoint["task"], []).append(checkpoint)
 
-    is_first = True
-    for key, group in groupby(db["checkpoints"], key=lambda x: x["task"]):
-        label = LABELS_BY_TASK.get(key, "")
-        click.echo(("=" if is_first else "-") * len(header))
-        click.echo(f"| {label:<{len(header) - 4}} |")
-        click.echo("-" * len(header))
-        is_first = False
-        for checkpoint in group:
-            click.echo(template.format(
-                f"{checkpoint['name']} ({checkpoint['id']})",
-                checkpoint["alias"], "", "", checkpoint["status"],
-            ))
-    click.echo("=" * len(header))
+    heading = ("NAME", "ALIAS", "EVAL", "PERF", "STATUS")
+    all_rows = []
+    sections = []
+    for task, group in by_task.items():
+        rows = [
+            (
+                f"{c['name']} ({c['id']})",
+                c["alias"],
+                "{:.2f} {}".format(
+                    c["evaluation"]["value"], c["evaluation"]["metric"]
+                ),
+                f"{c['performance']:.1f}",
+                c["status"],
+            )
+            for c in group
+        ]
+        sections.append((LABELS_BY_TASK.get(task, task), rows))
+        all_rows.extend(rows)
+
+    widths = _columns([heading] + all_rows, min_widths=(4, 4, 4, 4, 4))
+    rule = "-" * (sum(widths) + 2 * (len(widths) - 1))
+    for label, rows in sections:
+        click.echo(label)
+        click.echo(rule)
+        click.echo(_grid_row(heading, widths))
+        for row in rows:
+            click.echo(_grid_row(row, widths))
+        click.echo()
 
 
 @click.command(name="info", help="Display detailed information on checkpoint.")
@@ -284,30 +312,35 @@ def info_cmd(checkpoint_id):
     if not checkpoint:
         click.echo(f"Checkpoint '{checkpoint_id}' not found in index.")
         return
+
+    evaluation = "{:.3f} {}".format(
+        checkpoint["evaluation"]["value"], checkpoint["evaluation"]["metric"]
+    )
+    if checkpoint["evaluation"]["is_reported"]:
+        evaluation += " (self-reported)"
+    if checkpoint["local_path"]:
+        status = f"DOWNLOADED (at `{checkpoint['local_path']}`)"
+    else:
+        status = "NOT_DOWNLOADED"
+
     click.echo(
         f"{checkpoint['name']} ({checkpoint['id']}, {checkpoint['alias']})"
     )
     if checkpoint["description"]:
         click.echo(f" > {checkpoint['description']}")
     click.echo()
-    click.echo(f"Task: {LABELS_BY_TASK.get(checkpoint['task'], '')}")
-    click.echo(f"Class: `{checkpoint['class']}`")
-    click.echo(
-        "Evaluation information: {:.3f} {}{}".format(
-            checkpoint["evaluation"]["value"],
-            checkpoint["evaluation"]["metric"],
-            " (self-reported)" if checkpoint["evaluation"]["is_reported"] else "",
-        )
-    )
-    click.echo(
-        f"Computational performance: {checkpoint['performance']:.2f} units"
-    )
-    click.echo()
-    click.echo(f"Upstream URL: {checkpoint['url']}")
-    if checkpoint["local_path"]:
-        click.echo(f"Status: DOWNLOADED (at `{checkpoint['local_path']}`)")
-    else:
-        click.echo("Status: NOT_DOWNLOADED")
+
+    fields = [
+        ("Task", LABELS_BY_TASK.get(checkpoint["task"], checkpoint["task"])),
+        ("Class", f"`{checkpoint['class']}`"),
+        ("Evaluation", evaluation),
+        ("Performance", f"{checkpoint['performance']:.2f} units"),
+        ("Upstream URL", checkpoint["url"]),
+        ("Status", status),
+    ]
+    name_width = max(len(name) for name, _ in fields)
+    for name, value in fields:
+        click.echo(f"{name.ljust(name_width)}  {value}")
 
 
 @click.command(name="delete", help="Delete local files for a checkpoint.")

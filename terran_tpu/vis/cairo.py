@@ -1,171 +1,135 @@
-"""Cairo visualization backend (ref: /root/reference/terran/vis/cairo.py).
+"""Cairo renderer for annotation scenes (optional extra).
 
-Optional extra — selected automatically when pycairo is importable
-(vis/__init__.py falls back to the Pillow backend otherwise). Rounded-box +
-crosshair face markers; bezier-ribbon limbs with keypoint dots.
+Selected automatically when pycairo is importable; Pillow otherwise.
+Drawing semantics match the reference backend
+(/root/reference/terran/vis/cairo.py): rounded boxes with dashed
+crosshairs for faces, filled bezier ribbons for limbs, round dots for
+keypoints. All face/pose -> primitive lowering lives in
+``terran_tpu.vis.scene``; this module only rasterises primitives.
 """
 
 import math
 
 import cairo
 import numpy as np
-from cairo import Context, ImageSurface
-from functools import wraps
 
-from terran_tpu.pose import Keypoint
-from terran_tpu.vis import (
-    FACE_COLORMAP, MARKER_SCALES, POSE_CONNECTIONS, POSE_CONNECTION_COLORS,
-    POSE_KEYPOINT_COLORS,
-)
+from terran_tpu.vis import scene
+
+_TURN = 2 * math.pi
+_QUARTER = math.pi / 2
 
 
-def with_cairo(vis_func):
-    """Prepare a BGRA cairo surface around an RGB array (ref cairo.py:15-76)."""
+def _unit(rgb):
+    return tuple(channel / 255 for channel in rgb)
 
-    @wraps(vis_func)
-    def func(image, objects, *args, **kwargs):
-        if not isinstance(objects, (list, tuple)):
-            objects = [objects]
 
-        area = image.shape[1] * image.shape[0]
-        for ref_area, scale in MARKER_SCALES:
-            if area >= ref_area:
-                break
+class CairoCanvas:
+    """Cairo context over a BGRA view of an RGB uint8 array.
 
-        with_alpha = np.concatenate(
-            [
-                image[..., ::-1],
-                255 * np.ones(
-                    (image.shape[0], image.shape[1], 1), dtype=np.uint8
-                ),
-            ],
-            axis=2,
+    Cairo's RGB24 surfaces are BGRA in memory, so the image is expanded to
+    a 4-channel buffer with the channel order reversed; ``finish`` strips
+    the alpha plane and flips the channels back.
+    """
+
+    def __init__(self, image):
+        height, width = image.shape[:2]
+        self.scale = scene.marker_scale(height, width)
+
+        alpha = np.full((height, width, 1), 255, dtype=np.uint8)
+        self._buffer = np.concatenate([image[..., ::-1], alpha], axis=2)
+        surface = cairo.ImageSurface.create_for_data(
+            self._buffer, cairo.Format.RGB24, width, height
         )
-        surface = ImageSurface.create_for_data(
-            with_alpha, cairo.Format.RGB24, image.shape[1], image.shape[0]
-        )
-        ctx = Context(surface)
-        ctx.select_font_face(
-            "DejaVuSans-Bold", cairo.FONT_SLANT_NORMAL,
+        self._ctx = cairo.Context(surface)
+        self._ctx.select_font_face(
+            "DejaVuSans-Bold",
+            cairo.FONT_SLANT_NORMAL,
             cairo.FONT_WEIGHT_NORMAL,
         )
-        ctx.set_font_size(int(16 * scale))
+        self._ctx.set_font_size(int(16 * self.scale))
 
-        vis_func(ctx, objects, scale=scale, *args, **kwargs)
+    def finish(self):
+        return self._buffer[..., 2::-1]
 
-        return with_alpha[..., :-1][..., ::-1]
+    def marker(self, face):
+        ctx, s = self._ctx, self.scale
+        x0, y0, x1, y1 = face.bbox
+        r = 10.0 * s
 
-    return func
+        ctx.set_source_rgba(*_unit(face.color), 1.0)
 
+        # Box outline: four corner arcs joined into one rounded rectangle.
+        ctx.set_dash([])
+        ctx.set_line_width(3.0 * s)
+        ctx.new_sub_path()
+        ctx.arc(x1 - r, y0 + r, r, -_QUARTER, 0)
+        ctx.arc(x1 - r, y1 - r, r, 0, _QUARTER)
+        ctx.arc(x0 + r, y1 - r, r, _QUARTER, 2 * _QUARTER)
+        ctx.arc(x0 + r, y0 + r, r, 2 * _QUARTER, 3 * _QUARTER)
+        ctx.close_path()
+        ctx.stroke()
 
-def draw_marker(ctx, coords, color=(255, 0, 0), scale=1):
-    """Rounded-corner box with dashed crosshair (ref cairo.py:79-125)."""
-    x_min, y_min, x_max, y_max = coords
-    width = x_max - x_min
-    height = y_max - y_min
-    degrees = math.pi / 180.0
-    radius = 10.0 * scale
+        # Dashed crosshair through the box centre.
+        ctx.set_dash([10.0 * s])
+        ctx.set_line_width(1.0 * s)
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        ctx.move_to(cx, y0)
+        ctx.line_to(cx, y1)
+        ctx.move_to(x0, cy)
+        ctx.line_to(x1, cy)
+        ctx.stroke()
 
-    ctx.set_source_rgba(*color, 1.0)
-    ctx.set_line_width(3.0 * scale)
-    ctx.set_dash([])
+        if face.tag is not None:
+            ctx.move_to(x0 + 3 * s, y0 + 15 * s)
+            ctx.show_text(face.tag)
 
-    ctx.new_sub_path()
-    ctx.arc(x_min + width - radius, y_min + radius, radius,
-            -90 * degrees, 0 * degrees)
-    ctx.arc(x_min + width - radius, y_min + height - radius, radius,
-            0 * degrees, 90 * degrees)
-    ctx.arc(x_min + radius, y_min + height - radius, radius,
-            90 * degrees, 180 * degrees)
-    ctx.arc(x_min + radius, y_min + radius, radius,
-            180 * degrees, 270 * degrees)
-    ctx.close_path()
-    ctx.stroke()
+    def limb(self, limb):
+        ctx, s = self._ctx, self.scale
+        (xa, ya), (xb, yb) = limb.src, limb.dst
 
-    ctx.set_dash([10.0 * scale])
-    ctx.set_line_width(1.0 * scale)
-    ctx.move_to((x_min + x_max) / 2, y_min)
-    ctx.line_to((x_min + x_max) / 2, y_max)
-    ctx.move_to(x_min, (y_min + y_max) / 2)
-    ctx.line_to(x_max, (y_min + y_max) / 2)
-    ctx.stroke()
-
-
-@with_cairo
-def vis_faces(ctx, faces, scale=1.0):
-    """Draw face markers + labels (ref cairo.py:128-171)."""
-    for face in faces:
-        face_name = face.get("name") or face.get("track")
-        if face.get("text") is not None:
-            face_text = face["text"]
-        elif face.get("track") is not None:
-            face_text = f"#{face['track']}"
+        # Offset each endpoint perpendicular to the limb by half-width w,
+        # and fill the closed curve through the four offset points — a
+        # ribbon that tapers via the bezier control points.
+        w = 4 * s
+        dy = yb - ya
+        if abs(dy) > 0:
+            slope = -(xb - xa) / dy
+            ox = w / math.sqrt(slope * slope + 1)
+            oy = ox * slope
         else:
-            face_text = None
+            ox, oy = 0, w
 
-        color = map(lambda x: x / 255, FACE_COLORMAP(face_name))
-        draw_marker(ctx, face["bbox"], color=color, scale=scale)
+        ctx.set_source_rgba(*_unit(limb.color), 0.7)
+        ctx.set_line_width(1.0)
+        ctx.move_to(xa, ya)
+        ctx.curve_to(int(xa + ox), int(ya + oy),
+                     int(xb + ox), int(yb + oy), xb, yb)
+        ctx.curve_to(int(xb - ox), int(yb - oy),
+                     int(xa - ox), int(ya - oy), xa, ya)
+        ctx.fill()
+        ctx.stroke()
 
-        if face_text is not None:
-            ctx.move_to(
-                face["bbox"][0] + 3 * scale, face["bbox"][1] + 15 * scale
-            )
-            ctx.show_text(face_text)
-
-
-def draw_keypoints(ctx, keypoints, scale=1.0):
-    """Filled keypoint dots (ref cairo.py:174-188)."""
-    for keypoint in keypoints:
-        for idx, (x, y, is_present) in enumerate(keypoint["keypoints"]):
-            if not is_present:
-                continue
-            color = map(lambda v: v / 255, POSE_KEYPOINT_COLORS[Keypoint(idx)])
-            ctx.set_source_rgba(*color, 0.9)
-            ctx.arc(x, y, 3 * scale, 0, 2 * math.pi)
-            ctx.fill()
-            ctx.stroke()
+    def dot(self, dot):
+        ctx = self._ctx
+        ctx.set_source_rgba(*_unit(dot.color), 0.9)
+        ctx.arc(dot.center[0], dot.center[1], 3 * self.scale, 0, _TURN)
+        ctx.fill()
+        ctx.stroke()
 
 
-def draw_limbs(ctx, keypoints, scale=1.0):
-    """Bezier-ribbon limbs (ref cairo.py:191-234)."""
-    for keypoint in keypoints:
-        kps = keypoint["keypoints"]
-        for idx, (conn_src, conn_dst) in enumerate(POSE_CONNECTIONS):
-            x_src, y_src, src_present = kps[conn_src.value]
-            x_dst, y_dst, dst_present = kps[conn_dst.value]
-            if not (src_present and dst_present):
-                continue
-
-            color = map(lambda v: v / 255, POSE_CONNECTION_COLORS[idx])
-            ctx.set_source_rgba(*color, 0.7)
-            ctx.set_line_width(1.0)
-
-            width = 4 * scale
-            if abs(y_dst - y_src) > 0:
-                normal = -(x_dst - x_src) / (y_dst - y_src)
-                x_base = width / math.sqrt(normal ** 2 + 1)
-                y_base = x_base * normal
-            else:
-                x_base = 0
-                y_base = width
-
-            ctx.move_to(x_src, y_src)
-            ctx.curve_to(
-                int(x_src + x_base), int(y_src + y_base),
-                int(x_dst + x_base), int(y_dst + y_base),
-                x_dst, y_dst,
-            )
-            ctx.curve_to(
-                int(x_dst - x_base), int(y_dst - y_base),
-                int(x_src - x_base), int(y_src - y_base),
-                x_src, y_src,
-            )
-            ctx.fill()
-            ctx.stroke()
+def vis_faces(image, faces):
+    """Render face markers (+ labels) onto a copy of ``image``."""
+    canvas = CairoCanvas(image)
+    for marker in scene.face_markers(faces):
+        canvas.marker(marker)
+    return canvas.finish()
 
 
-@with_cairo
-def vis_poses(ctx, poses, scale=1.0):
-    """Draw poses (ref cairo.py:237-256)."""
-    draw_limbs(ctx, poses, scale=scale)
-    draw_keypoints(ctx, poses, scale=scale)
+def vis_poses(image, poses):
+    """Render pose skeletons onto a copy of ``image``."""
+    canvas = CairoCanvas(image)
+    for limb in scene.pose_limbs(poses):
+        canvas.limb(limb)
+    for dot in scene.pose_dots(poses):
+        canvas.dot(dot)
+    return canvas.finish()

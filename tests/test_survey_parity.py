@@ -61,8 +61,9 @@ COMPONENTS = [
                         "FACE_COLORMAP", "POSE_CONNECTIONS",
                         "POSE_CONNECTION_COLORS", "POSE_KEYPOINT_COLORS",
                         "MARKER_SCALES"]),
-    ("terran_tpu.vis.pillow", ["vis_faces", "vis_poses", "draw_label",
-                               "draw_marker"]),
+    ("terran_tpu.vis.pillow", ["vis_faces", "vis_poses", "PillowCanvas"]),
+    ("terran_tpu.vis.scene", ["face_markers", "pose_limbs", "pose_dots",
+                              "marker_scale"]),
     ("terran_tpu.parallel.mesh", ["create_mesh", "shard_batch",
                                   "shard_params", "batch_sharding",
                                   "replicated_sharding",

@@ -2,8 +2,21 @@
 
 Runs the fused perception pipeline (RetinaFace detect + on-device align +
 ArcFace embed + OpenPose decode, BASELINE config 5) over synthetic 1080p
-batches with host->HBM transfer overlapped against compute, and prints ONE
-JSON line: {"metric", "value", "unit", "vs_baseline"}.
+batches with a depth-2 software pipeline (threaded host->HBM uploads
+overlapping compute and result downloads), and prints ONE JSON line with:
+
+- ``value``/``vs_baseline``: median end-to-end frames/sec over 3 sweeps
+  (every sweep is also reported under ``sweeps``).
+- ``device_only_fps`` / ``achieved_tflops`` / ``mfu``: steady-state
+  throughput of the three jitted programs with frames already resident in
+  HBM — the transfer-independent number. ``mfu`` is achieved FLOP/s over
+  the measured 369 TFLOP/s bf16 peak of this chip (override via
+  BENCH_PEAK_TFLOPS).
+- ``h2d_gbps`` / ``roundtrip_ms``: link microbenchmarks that bound the
+  end-to-end number in this environment (the host<->TPU path here is a
+  tunneled relay whose bandwidth swings by orders of magnitude; see
+  BASELINE.md).
+- ``stages``: per-stage wall time from the pipeline's StageTimer.
 
 Weights: real converted checkpoints from the store when present, otherwise
 random weights in the reference's exact architecture (identical FLOPs and
@@ -17,11 +30,13 @@ REFERENCE_CPU_FPS below. Override via env BENCH_BASELINE_FPS.
 
 Env knobs: BENCH_BATCH (default 8), BENCH_BATCHES (default 8),
 BENCH_WIDTH/HEIGHT (1920/1080), BENCH_POSE=0 to skip pose,
+BENCH_DEPTH (pipeline depth, default 2), BENCH_DEVICE_ITERS (default 10),
 BENCH_MEASURE_BASELINE=1 to re-measure the torch-CPU denominator.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -35,6 +50,9 @@ sys.path.insert(0, str(Path(__file__).parent / "tests"))
 # Measured 2026-08-16 on this host (BASELINE.md): reference graphs on torch
 # CPU at the same settings = 0.243 frames/sec.
 REFERENCE_CPU_FPS = 0.243
+
+# Measured bf16 matmul peak of the chip in this environment (CLAUDE.md).
+DEFAULT_PEAK_TFLOPS = 369.0
 
 
 def _load_params():
@@ -102,11 +120,136 @@ def measure_reference_cpu_fps(batch, max_faces, with_pose):
     return n / dt
 
 
-def main():
-    np.seterr(all="ignore")
+def measure_link(frames):
+    """Host->device bandwidth and small-result round-trip latency."""
     import jax
 
+    bump = jax.jit(lambda x: x + 1)
+    probe = np.zeros((8,), np.float32)
+    np.asarray(bump(probe))  # compile
+    trips = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        np.asarray(bump(probe))
+        trips.append(time.perf_counter() - t0)
+    roundtrip_ms = 1000 * statistics.median(trips)
+
+    uploads = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(frames))
+        uploads.append(time.perf_counter() - t0)
+    h2d_gbps = frames.nbytes / min(uploads) / 1e9
+    return h2d_gbps, roundtrip_ms
+
+
+def measure_device_only(pipeline, frames, iters):
+    """Steady-state fps of the three programs with frames HBM-resident,
+    plus achieved FLOP/s from XLA's own cost model."""
+    import jax
+
+    full_h, full_w = frames.shape[1:3]
+    step = pipeline._perception_fn(full_h, full_w)
+    embed = pipeline._embed_fn() if pipeline.with_embeddings else None
+    posefn = (
+        pipeline._pose_fn(full_h, full_w) if pipeline.with_pose else None
+    )
+
+    frames_dev = jax.block_until_ready(pipeline.put_frames(frames))
+
+    def run_once():
+        out = step(pipeline.det_params, pipeline.rec_params, frames_dev)
+        results = [out["det_packed"]]
+        if embed is not None:
+            results.append(embed(
+                pipeline.rec_params, out["crops"], out["emb_mask_dev"]
+            ))
+        if posefn is not None:
+            results.extend(posefn(pipeline.pose_params, frames_dev))
+        return results
+
+    jax.block_until_ready(run_once())  # warm (already compiled)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        results = run_once()
+    jax.block_until_ready(results)
+    elapsed = time.perf_counter() - t0
+    fps = frames.shape[0] * iters / elapsed
+
+    flops = measure_flops_subprocess(frames.shape)
+    achieved_tflops = flops * iters / elapsed / 1e12 if flops else None
+    return fps, achieved_tflops
+
+
+def measure_flops_subprocess(frames_shape):
+    """Per-batch FLOPs of the three programs from XLA's HLO cost model.
+
+    The tunneled TPU backend here returns None from
+    ``Lowered.cost_analysis()``, so the analysis runs in a fresh CPU
+    subprocess (tracing only — nothing is compiled or executed)."""
+    import subprocess
+
+    args = [sys.executable, Path(__file__).resolve().as_posix(), "--flops",
+            *(str(d) for d in frames_shape[:3])]
+    try:
+        out = subprocess.run(
+            args, capture_output=True, text=True, timeout=300,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        return float(json.loads(out.stdout.strip().splitlines()[-1])["flops"])
+    except Exception:
+        return 0.0
+
+
+def flops_main(batch, height, width):
+    """--flops mode: print the summed HLO-cost-model FLOPs of the three
+    pipeline programs at the given batch shape (run on CPU)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from terran_tpu.pipeline import PerceptionPipeline
+
+    params = _load_params()
+    pipeline = PerceptionPipeline(
+        det_params=params["retinaface"],
+        rec_params=params["arcface"],
+        pose_params=params["openpose"],
+        max_faces=int(os.environ.get("BENCH_MAX_FACES", 8)),
+        top_k=64,
+        max_peaks=16,
+        with_pose=os.environ.get("BENCH_POSE", "1") != "0",
+    )
+    frames = np.zeros((batch, height, width, 3), np.uint8)
+
+    def analyzed(lowered):
+        analysis = lowered.cost_analysis()
+        return float((analysis or {}).get("flops", 0.0))
+
+    step = pipeline._perception_fn(height, width)
+    flops = analyzed(step.lower(
+        pipeline.det_params, pipeline.rec_params, frames
+    ))
+    if pipeline.with_embeddings:
+        crops = np.zeros(
+            (batch, pipeline.max_faces, 112, 112, 3), np.float32
+        )
+        mask = np.zeros((batch, pipeline.max_faces), bool)
+        flops += analyzed(pipeline._embed_fn().lower(
+            pipeline.rec_params, crops, mask
+        ))
+    if pipeline.with_pose:
+        flops += analyzed(pipeline._pose_fn(height, width).lower(
+            pipeline.pose_params, frames
+        ))
+    print(json.dumps({"flops": flops}))
+
+
+def main():
+    np.seterr(all="ignore")
+
+    from terran_tpu.pipeline import PerceptionPipeline
+    from terran_tpu.utils.profiling import StageTimer
 
     batch_size = int(os.environ.get("BENCH_BATCH", 8))
     num_batches = int(os.environ.get("BENCH_BATCHES", 8))
@@ -114,8 +257,14 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     with_pose = os.environ.get("BENCH_POSE", "1") != "0"
     max_faces = int(os.environ.get("BENCH_MAX_FACES", 8))
+    depth = int(os.environ.get("BENCH_DEPTH", 2))
+    device_iters = int(os.environ.get("BENCH_DEVICE_ITERS", 10))
+    peak_tflops = float(
+        os.environ.get("BENCH_PEAK_TFLOPS", DEFAULT_PEAK_TFLOPS)
+    )
 
     params = _load_params()
+    timer = StageTimer()
     pipeline = PerceptionPipeline(
         det_params=params["retinaface"],
         rec_params=params["arcface"],
@@ -124,6 +273,7 @@ def main():
         top_k=64,
         max_peaks=16,
         with_pose=with_pose,
+        timer=timer,
     )
 
     rng = np.random.default_rng(0)
@@ -132,19 +282,29 @@ def main():
         for _ in range(num_batches)
     ]
 
-    # Warmup / compile.
+    # Warmup: compile all three programs, then ramp the pipelined path
+    # (threaded uploader, queues) so the first timed sweep isn't cold.
     pipeline.process_batch(batches[0])
+    for _ in pipeline.process_stream(batches[:2], depth=depth):
+        pass
 
-    # Timed: overlap h2d of the next batch with compute via async dispatch;
-    # take the best of 3 sweeps (the transfer tunnel in this environment has
-    # high variance).
-    best = float("inf")
+    # End-to-end sweeps: threaded uploads + depth-deep dispatch overlap
+    # h2d of batch i+2 with batch i+1's compute and batch i's downloads.
+    timer.reset()
+    sweeps = []
     for _ in range(3):
         t0 = time.time()
-        for _out in pipeline.process_stream(batches):
+        for _out in pipeline.process_stream(batches, depth=depth):
             pass
-        best = min(best, time.time() - t0)
-    fps = batch_size * num_batches / best
+        sweeps.append(
+            round(batch_size * num_batches / (time.time() - t0), 2)
+        )
+    fps = statistics.median(sweeps)
+
+    device_only_fps, achieved_tflops = measure_device_only(
+        pipeline, batches[0], device_iters
+    )
+    h2d_gbps, roundtrip_ms = measure_link(batches[0])
 
     baseline = os.environ.get("BENCH_BASELINE_FPS")
     if baseline is not None:
@@ -161,9 +321,27 @@ def main():
         "vs_baseline": (
             round(fps / baseline, 2) if baseline else None
         ),
+        "sweeps": sweeps,
+        "device_only_fps": round(device_only_fps, 2),
+        "achieved_tflops": (
+            round(achieved_tflops, 2) if achieved_tflops else None
+        ),
+        "mfu": (
+            round(achieved_tflops / peak_tflops, 4)
+            if achieved_tflops else None
+        ),
+        "h2d_gbps": round(h2d_gbps, 4),
+        "roundtrip_ms": round(roundtrip_ms, 2),
+        "stages": {
+            name: info["mean_ms"]
+            for name, info in timer.summary().items()
+        },
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--flops":
+        flops_main(*map(int, sys.argv[2:5]))
+    else:
+        main()

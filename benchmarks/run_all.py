@@ -35,6 +35,38 @@ def _p50(samples):
     return float(np.percentile(np.asarray(samples) * 1000.0, 50))
 
 
+def bench_roundtrip_floor(params, iters):
+    """Config 0: the latency floor of this host<->device link.
+
+    Two numbers bound every batch-1 latency in this harness:
+    - ``scalar``: a jitted +1 on 8 floats, fetched — pure round trip.
+    - ``input``: identity on the config-1 resized input (1x208x277x3
+      uint8), fetched — round trip plus the irreducible input upload.
+    Config 1 can't beat ``input``; its overhead above it is the honest
+    optimisation target (VERDICT r1 #7).
+    """
+    import jax
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (1, 208, 277, 3), dtype=np.uint8)
+    probe = np.zeros((8,), np.float32)
+    bump = jax.jit(lambda x: x + 1)
+    ident = jax.jit(lambda x: x[:, :1, :1, 0])
+
+    np.asarray(bump(probe)), np.asarray(ident(image))  # compile
+    scalar, inp = [], []
+    for _ in range(max(iters * 2, 10)):
+        t0 = time.perf_counter()
+        np.asarray(bump(probe))
+        scalar.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(ident(image))
+        inp.append(time.perf_counter() - t0)
+    return {"metric": "link round-trip floor (scalar / config-1 input)",
+            "value": round(_p50(scalar), 2), "unit": "ms",
+            "input_floor_ms": round(_p50(inp), 2)}
+
+
 def bench_detection_latency(params, iters):
     from terran_tpu.face.detection import Detection, RetinaFaceDetector
 
@@ -153,6 +185,7 @@ def bench_full_pipeline(params, iters):
 
 
 BENCHES = {
+    "0": bench_roundtrip_floor,
     "1": bench_detection_latency,
     "2": bench_pose_latency,
     "3": bench_match_throughput,
@@ -164,7 +197,7 @@ BENCHES = {
 def main():
     np.seterr(all="ignore")
     parser = argparse.ArgumentParser()
-    parser.add_argument("--configs", default="1,2,3,4,5")
+    parser.add_argument("--configs", default="0,1,2,3,4,5")
     parser.add_argument("--quick", action="store_true")
     args = parser.parse_args()
 

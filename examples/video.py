@@ -1,41 +1,55 @@
 """Face detection over a video, written back out with boxes drawn.
 
-Port of the reference example (/root/reference/examples/video.py): open a
-video with the background-prefetch reader, detect faces per batch of
-frames, and hand `vis_faces` to the writer so rendering happens in the
-writer thread, overlapped with TPU compute.
+TPU-native take on the reference example
+(/root/reference/examples/video.py), with three differences:
+
+- ``--threshold`` actually works (the reference accepts and ignores it);
+  it is plumbed into the detector's score threshold.
+- ``--workers N`` (N > 1) decodes the source with the multi-process
+  segmented reader (``ParallelVideo``) so a single high-fps file doesn't
+  bottleneck on one ffmpeg process.
+- Rendering still happens in the writer thread (deferred render), so
+  drawing overlaps the next batch's TPU inference.
 """
 
 import click
 
-from terran_tpu.face.detection import face_detection
-from terran_tpu.io import open_video, write_video
+from terran_tpu.face.detection import Detection
+from terran_tpu.io import open_video, open_video_parallel, write_video
 from terran_tpu.vis import vis_faces
 
 
 @click.command(name="find-video")
 @click.argument("video-path")
 @click.argument("output-path")
-@click.option("--threshold", type=float, default=0.5)
+@click.option("--threshold", type=float, default=0.5,
+              help="Detection score threshold.")
 @click.option("--batch-size", default=32)
 @click.option("--duration", "-d", default=None, type=int)
 @click.option("--framerate", "-f", default=None, type=int)
 @click.option("--start-time", "-ss", default=None, type=str)
+@click.option("--workers", "-w", default=1, type=int,
+              help="Decoder processes (>1 uses the segmented reader).")
 def find_video(video_path, output_path, threshold, batch_size, duration,
-               framerate, start_time):
-    video = open_video(
-        video_path,
+               framerate, start_time, workers):
+    reader_options = dict(
         batch_size=batch_size,
         read_for=duration,
         start_time=start_time,
         framerate=framerate,
     )
+    if workers > 1:
+        video = open_video_parallel(video_path, workers=workers,
+                                    **reader_options)
+    else:
+        video = open_video(video_path, **reader_options)
 
+    detect = Detection(threshold=threshold)
     writer = write_video(output_path, copy_format_from=video)
 
-    with click.progressbar(video, length=len(video)) as bar:
-        for frames in bar:
-            faces_per_frame = face_detection(frames)
+    with click.progressbar(video, length=len(video)) as batches:
+        for frames in batches:
+            faces_per_frame = detect(frames)
             for frame, faces in zip(frames, faces_per_frame):
                 # Deferred render: executed in the writer thread so drawing
                 # overlaps the next batch's inference.

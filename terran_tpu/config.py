@@ -38,6 +38,10 @@ class Config:
     # Fused pipeline capacities.
     pipeline_top_k: int = 128
     pipeline_max_faces: int = 16
+    # Batches dispatched ahead of the oldest unfinished batch in
+    # process_stream: depth 2 keeps batch i+2's h2d crossing the link while
+    # batch i+1 computes and batch i's results download.
+    pipeline_depth: int = 2
 
     # I/O buffering.
     reader_buffer_batches: int = 1

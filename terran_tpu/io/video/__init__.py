@@ -18,6 +18,9 @@ class VideoClosed(Exception):
 
 
 from terran_tpu.io.video.reader import Video, open_video  # noqa
+from terran_tpu.io.video.parallel import ParallelVideo, open_video_parallel  # noqa
 from terran_tpu.io.video.writer import VideoWriter, write_video  # noqa
 from terran_tpu.io.video.synthetic import SyntheticVideo  # noqa
-from terran_tpu.io.video.prefetch import device_prefetch, fixed_shape_batches  # noqa
+from terran_tpu.io.video.prefetch import (  # noqa
+    device_prefetch, fixed_shape_batches, threaded_device_put,
+)

@@ -8,6 +8,8 @@ batches in flight on device, so while the model consumes batch *i*, batch
 reader thread. JAX's async dispatch does the rest.
 """
 
+import queue
+import threading
 from collections import deque
 
 import numpy as np
@@ -78,3 +80,62 @@ def device_prefetch(batch_iterator, depth=None, device=None):
         batch = buffer.popleft()
         enqueue()
         yield batch
+
+
+def threaded_device_put(batch_iterator, depth=2, put=None):
+    """Yield device-resident arrays, uploading from a background thread.
+
+    ``device_prefetch`` relies on ``jax.device_put`` being asynchronous; on
+    runtimes where the transfer blocks the calling thread (e.g. tunneled
+    TPU relays), that stalls the dispatch loop. Here a worker thread owns
+    the uploads and feeds a bounded queue of ``depth`` in-flight batches,
+    so host->device transfer always overlaps the consumer's dispatch,
+    compute wait, and result downloads.
+
+    Exceptions from the source iterator or the upload propagate to the
+    consumer at the point of ``next()``.
+    """
+    if put is None:
+        put = jax.device_put
+
+    results = queue.Queue(maxsize=max(1, depth))
+    done = object()
+    stop = threading.Event()
+    failure = []
+
+    def offer(item):
+        """Bounded put that gives up if the consumer went away."""
+        while not stop.is_set():
+            try:
+                results.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def uploader():
+        try:
+            for batch in batch_iterator:
+                if not offer(put(batch)):
+                    return
+        except BaseException as error:  # propagated below
+            failure.append(error)
+        finally:
+            offer(done)
+
+    worker = threading.Thread(
+        target=uploader, name="terran-tpu-uploader", daemon=True
+    )
+    worker.start()
+
+    try:
+        while True:
+            item = results.get()
+            if item is done:
+                worker.join()
+                if failure:
+                    raise failure[0]
+                return
+            yield item
+    finally:
+        stop.set()

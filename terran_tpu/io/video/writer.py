@@ -57,9 +57,11 @@ class VideoWriter:
         if framerate is None and copy_format_from is None:
             self.framerate = 30
         elif framerate is None:
-            from terran_tpu.io.video.reader import Video, open_video
+            # Duck-typed: any reader with a framerate (Video, ParallelVideo,
+            # SyntheticVideo); a path/URL is opened to probe it.
+            if not hasattr(copy_format_from, "framerate"):
+                from terran_tpu.io.video.reader import open_video
 
-            if not isinstance(copy_format_from, Video):
                 copy_format_from = open_video(copy_format_from)
             self.framerate = copy_format_from.framerate
         else:

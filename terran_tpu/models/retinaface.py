@@ -335,24 +335,28 @@ def make_detect_fn(model: RetinaFace, height: int, width: int, *,
         scores = jnp.where(in_bounds[None, :], scores, 0.0)
 
         def per_image(s, b, l):
-            kb, ks, keep, order = nms_fixed(
+            kb, ks, keep, order, overflow = nms_fixed(
                 b, s, nms_threshold, score_threshold=threshold, top_k=top_k
             )
-            return kb, l[order], ks, keep
+            return kb, l[order], ks, keep, overflow
 
-        boxes, landmarks, scores, mask = jax.vmap(per_image)(
+        boxes, landmarks, scores, mask, overflow = jax.vmap(per_image)(
             scores, boxes, landmarks
         )
-        # Pack everything into ONE (N, K, 16) array so a single d2h
+        # Pack everything into ONE (N, K, 17) array so a single d2h
         # transfer returns all results: each host<->device round trip
         # costs ~25 ms through a tunneled runtime and dominates batch-1
-        # latency for this tiny model.
+        # latency for this tiny model. Channel 16 is the per-image NMS
+        # overflow flag broadcast along K.
         packed = jnp.concatenate(
             [
                 boxes,
                 landmarks.reshape(landmarks.shape[0], landmarks.shape[1], 10),
                 scores[..., None],
                 mask[..., None].astype(jnp.float32),
+                jnp.broadcast_to(
+                    overflow[:, None, None], scores.shape + (1,)
+                ).astype(jnp.float32),
             ],
             axis=-1,
         )
@@ -362,11 +366,16 @@ def make_detect_fn(model: RetinaFace, height: int, width: int, *,
 
 
 def unpack_detections(packed):
-    """Split the packed (N, K, 16) detect output back into
-    (boxes (N,K,4), landmarks (N,K,5,2), scores (N,K), mask (N,K) bool)."""
+    """Split the packed (N, K, 17) detect output back into (boxes (N,K,4),
+    landmarks (N,K,5,2), scores (N,K), mask (N,K) bool, overflow (N,) bool).
+
+    ``overflow`` marks images where more candidates cleared the score
+    threshold than the fixed top-K pre-selection kept — the only regime
+    where the keep-set can diverge from unbounded greedy NMS."""
     n, k, _ = packed.shape
     boxes = packed[..., :4]
     landmarks = packed[..., 4:14].reshape(n, k, 5, 2)
     scores = packed[..., 14]
     mask = packed[..., 15] > 0.5
-    return boxes, landmarks, scores, mask
+    overflow = packed[..., 0, 16] > 0.5
+    return boxes, landmarks, scores, mask, overflow

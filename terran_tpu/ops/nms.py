@@ -54,12 +54,20 @@ def nms_fixed(boxes, scores, iou_threshold, score_threshold=0.0, top_k=256):
 
     Returns
     -------
-    (boxes, scores, keep_mask, order):
+    (boxes, scores, keep_mask, order, overflow):
         boxes (top_k, 4), scores (top_k,) sorted descending, keep_mask
         (top_k,) bool marking survivors, order (top_k,) int32 indices into
-        the input arrays (meaningful where keep_mask is set).
+        the input arrays (meaningful where keep_mask is set), and overflow —
+        a scalar bool set when more than ``top_k`` candidates cleared
+        ``score_threshold``, i.e. when the fixed-K pre-selection dropped
+        real candidates and the keep-set is no longer guaranteed to match
+        unbounded greedy NMS. Callers surface it rather than saturating
+        silently (the reference's dynamic-shape path cannot overflow;
+        /root/reference/terran/face/detection/retinaface/wrapper.py:207-236).
     """
-    scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
+    above = scores >= score_threshold
+    overflow = above.sum() > top_k
+    scores = jnp.where(above, scores, -jnp.inf)
     k = min(top_k, scores.shape[0])
     top_scores, order = jax.lax.top_k(scores, k)
     if k < top_k:
@@ -82,7 +90,7 @@ def nms_fixed(boxes, scores, iou_threshold, score_threshold=0.0, top_k=256):
     suppressed = jax.lax.fori_loop(0, top_k, body, jnp.zeros(top_k, bool))
     keep = jnp.logical_not(suppressed) & valid
 
-    return top_boxes, top_scores, keep, order
+    return top_boxes, top_scores, keep, order, overflow
 
 
 def make_sharded_nms(mesh, axis_name="data", *, iou_threshold=0.4,
@@ -99,39 +107,46 @@ def make_sharded_nms(mesh, axis_name="data", *, iou_threshold=0.4,
     Exactness: identical to single-device NMS whenever no more than
     ``local_top_k`` above-threshold candidates live on any one shard —
     greedy NMS only ever keeps candidates that would also survive local
-    pre-selection by score.
+    pre-selection by score. The returned ``overflow`` flag covers both
+    failure modes: a shard dropping above-threshold candidates during
+    pre-selection, and the merged set exceeding the final ``top_k``.
 
     Returns a function (boxes (A, 4), scores (A,)) -> fixed-size outputs
     like :func:`nms_fixed`, with ``order`` indexing the *gathered* arrays
     (boxes/scores returned directly, so callers rarely need it). ``A`` must
     be divisible by the mesh size.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def local_select(boxes, scores):
         # Top-K within this chip's anchor shard.
-        masked = jnp.where(scores >= score_threshold, scores, -jnp.inf)
+        above = scores >= score_threshold
+        masked = jnp.where(above, scores, -jnp.inf)
         top_scores, idx = jax.lax.top_k(masked, local_top_k)
-        return boxes[idx], top_scores
+        return boxes[idx], top_scores, above.sum() > local_top_k
 
     def sharded(boxes, scores):
-        local_boxes, local_scores = local_select(boxes, scores)
+        local_boxes, local_scores, local_overflow = local_select(boxes, scores)
         all_boxes = jax.lax.all_gather(
             local_boxes, axis_name, tiled=True
         )  # (n_dev * local_top_k, 4)
         all_scores = jax.lax.all_gather(local_scores, axis_name, tiled=True)
-        return nms_fixed(
+        any_local_overflow = jax.lax.psum(
+            local_overflow.astype(jnp.int32), axis_name
+        ) > 0
+        kb, ks, keep, order, merged_overflow = nms_fixed(
             all_boxes, all_scores, iou_threshold,
             score_threshold=score_threshold, top_k=top_k,
         )
+        return kb, ks, keep, order, merged_overflow | any_local_overflow
 
     fn = shard_map(
         sharded,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
     )
     spec = NamedSharding(mesh, P(axis_name))
 

@@ -48,7 +48,15 @@ def find_peaks(heatmaps, threshold, max_peaks):
     """Fixed-K local-maximum extraction per part.
 
     heatmaps: (H, W, P) float. Returns (coords (P, K, 2) int32 as (y, x),
-    scores (P, K), valid (P, K) bool), peaks ordered row-major per part.
+    scores (P, K), valid (P, K) bool, overflow (P,) bool), peaks ordered
+    row-major per part.
+
+    When a part has more than ``max_peaks`` local maxima, the K
+    highest-scoring ones are kept (score ties broken toward earlier
+    row-major positions) and ``overflow`` is set for that part; the kept
+    set is then re-ordered row-major, so downstream greedy matching sees
+    the same ordering convention as the reference's ``torch.nonzero``
+    extraction (wrapper.py:246-253) whenever nothing overflowed.
     """
     h, w, p = heatmaps.shape
     hm = jnp.transpose(heatmaps, (2, 0, 1))  # (P, H, W)
@@ -64,18 +72,25 @@ def find_peaks(heatmaps, threshold, max_peaks):
     peaks = jnp.pad(peaks, ((0, 0), (1, 1), (1, 1)))  # back to (P, H, W)
 
     flat = peaks.reshape(p, -1)
-    lin = jnp.arange(h * w, dtype=jnp.int32)
-    # Select masked positions in ascending row-major order via top_k on the
-    # negated linear index.
-    sel_score = jnp.where(flat, -lin[None, :].astype(jnp.float32), -jnp.inf)
-    top, idx = jax.lax.top_k(sel_score, max_peaks)  # (P, K)
-    valid = jnp.isfinite(top)
+    overflow = flat.sum(axis=1) > max_peaks
+
+    # Keep the K strongest peaks per part (lax.top_k breaks score ties by
+    # taking the earlier index, i.e. the earlier row-major position).
+    sel_score = jnp.where(flat, hm.reshape(p, -1), -jnp.inf)
+    top_scores, idx = jax.lax.top_k(sel_score, max_peaks)  # (P, K)
+    valid = jnp.isfinite(top_scores)
+
+    # Re-order the kept set row-major (invalid slots sort last).
+    position = jnp.where(valid, idx, h * w)
+    row_major = jnp.argsort(position, axis=1)
+    idx = jnp.take_along_axis(idx, row_major, axis=1)
+    valid = jnp.take_along_axis(valid, row_major, axis=1)
+    scores = jnp.take_along_axis(hm.reshape(p, -1), idx, axis=1)
 
     ys = idx // w
     xs = idx % w
-    scores = jnp.take_along_axis(hm.reshape(p, -1), idx, axis=1)
     coords = jnp.stack([ys, xs], axis=-1).astype(jnp.int32)
-    return coords, jnp.where(valid, scores, 0.0), valid
+    return coords, jnp.where(valid, scores, 0.0), valid, overflow
 
 
 def limb_scores(pafs, coords, valid, thresh_midpoint):
@@ -155,8 +170,9 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
     """Build the jitted batched decode for a fixed preprocessed input shape.
 
     Maps (params, images (N, H, W, 3) uint8/float RGB) to two packed arrays
-    — peaks (N, P, K, 4) = (y, x, score, valid) and limbs (N, L, K, K, 2) =
-    (reg_score, accept) — splittable with :func:`unpack_pose_outputs`.
+    — peaks (N, P, K, 5) = (y, x, score, valid, part_overflow) and limbs
+    (N, L, K, K, 2) = (reg_score, accept) — splittable with
+    :func:`unpack_pose_outputs`.
     """
     from terran_tpu.ops.upsample import upsample_bicubic
 
@@ -168,18 +184,22 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
         heat = upsample_bicubic(heat.astype(jnp.float32), downsampling_ratio)
 
         def per_image(paf_i, heat_i):
-            coords, scores, valid = find_peaks(
+            coords, scores, valid, overflow = find_peaks(
                 heat_i[..., :NUM_PARTS], keypoint_threshold, max_peaks
             )
             reg, accept = limb_scores(paf_i, coords, valid, thresh_midpoint)
             # Two packed arrays -> two d2h transfers (round trips through
-            # tunneled runtimes cost ~25 ms each): peaks (P, K, 4) holds
-            # (y, x, score, valid); limbs (L, K, K, 2) holds (reg, accept).
+            # tunneled runtimes cost ~25 ms each): peaks (P, K, 5) holds
+            # (y, x, score, valid, part_overflow — broadcast along K);
+            # limbs (L, K, K, 2) holds (reg, accept).
             peaks = jnp.concatenate(
                 [
                     coords.astype(jnp.float32),
                     scores[..., None],
                     valid[..., None].astype(jnp.float32),
+                    jnp.broadcast_to(
+                        overflow[:, None, None], coords.shape[:2] + (1,)
+                    ).astype(jnp.float32),
                 ],
                 axis=-1,
             )
@@ -193,10 +213,14 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
 
 def unpack_pose_outputs(peaks, limbs):
     """Split packed decode outputs back into
-    (coords int32, scores, valid bool, reg, accept bool)."""
+    (coords int32, scores, valid bool, reg, accept bool, overflow bool).
+
+    ``overflow`` has the peak arrays' leading dims up to the part axis
+    ((..., P)) — True where a part's local maxima exceeded the fixed K."""
     coords = peaks[..., :2].astype(np.int32)
     scores = peaks[..., 2]
     valid = peaks[..., 3] > 0.5
+    overflow = peaks[..., 0, 4] > 0.5
     reg = limbs[..., 0]
     accept = limbs[..., 1] > 0.5
-    return coords, scores, valid, reg, accept
+    return coords, scores, valid, reg, accept, overflow

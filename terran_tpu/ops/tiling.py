@@ -109,7 +109,7 @@ class TiledDetector:
             boxes = np.concatenate([boxes, np.zeros((pad, 4), np.float32)])
             scores = np.concatenate([scores, np.full(pad, -1, np.float32)])
 
-        kb, ks, keep, order = nms_fixed(
+        kb, ks, keep, order, _overflow = nms_fixed(
             boxes, scores, self.nms_threshold,
             score_threshold=threshold, top_k=self.top_k,
         )

@@ -77,3 +77,62 @@ def upsample_bicubic(x, factor, axes=(1, 2)):
     for axis in axes:
         x = _upsample_axis(x, factor, axis)
     return x
+
+
+def sample_bicubic(maps, factor, ys, xs):
+    """Values of ``upsample_bicubic(maps, factor)`` at integer positions,
+    WITHOUT materialising the upsampled array.
+
+    The pose decode samples tens of thousands of PAF points from an
+    upsampled field of ~10^8 elements; evaluating the separable Keys
+    filter directly at the sampled positions skips gigabytes of HBM
+    traffic per batch while producing bit-identical values (same taps,
+    same accumulation order as ``_upsample_axis``: H axis inner, W axis
+    outer).
+
+    Parameters
+    ----------
+    maps : (M, H, W) source planes (one gather space per leading index).
+    factor : integer upsample factor.
+    ys, xs : (M, ...) int32 positions in the upsampled grid, pre-clipped
+        to [0, H*factor) / [0, W*factor).
+
+    Returns (M, ...) float values.
+    """
+    import jax
+
+    h, w = maps.shape[-2:]
+    bases, weights = _phase_table(factor)
+    bases = jnp.asarray(bases, jnp.int32)
+    weights = jnp.asarray(weights, maps.dtype)
+
+    def taps(positions, size):
+        phase = positions % factor
+        base = positions // factor + bases[phase]
+        tap_idx = [
+            jnp.clip(base + offset, 0, size - 1) for offset in (-1, 0, 1, 2)
+        ]
+        return tap_idx, weights[phase]  # 4 x (...,), (..., 4)
+
+    ty, wy = taps(ys, h)
+    tx, wx = taps(xs, w)
+
+    def per_map(plane, ty0, ty1, ty2, ty3, tx_j, wy_m):
+        flat = plane.reshape(-1)
+
+        def col(tx_col):
+            rows = [flat[t * w + tx_col] for t in (ty0, ty1, ty2, ty3)]
+            # Same accumulation order as _upsample_axis.
+            return (
+                wy_m[..., 0] * rows[0] + wy_m[..., 1] * rows[1]
+                + wy_m[..., 2] * rows[2] + wy_m[..., 3] * rows[3]
+            )
+
+        cols = [col(tx_col) for tx_col in tx_j]
+        return cols
+
+    cols = jax.vmap(per_map)(maps, *ty, tx, wy)
+    return (
+        wx[..., 0] * cols[0] + wx[..., 1] * cols[1]
+        + wx[..., 2] * cols[2] + wx[..., 3] * cols[3]
+    )

@@ -171,15 +171,15 @@ class PerceptionPipeline:
             scores, boxes, landmarks = decode_outputs(outputs, anchors)
 
             def per_image_nms(s, b, l):
-                kb, ks, keep, order = nms_fixed(
+                kb, ks, keep, order, overflow = nms_fixed(
                     b, s, self.nms_threshold,
                     score_threshold=self.threshold, top_k=top_k,
                 )
-                return kb, l[order], ks, keep
+                return kb, l[order], ks, keep, overflow
 
-            boxes, landmarks, scores, mask = jax.vmap(per_image_nms)(
-                scores, boxes, landmarks
-            )
+            boxes, landmarks, scores, mask, det_overflow = jax.vmap(
+                per_image_nms
+            )(scores, boxes, landmarks)
 
             # Coordinates back to full resolution with the task API's
             # rounding semantics (resize_out: around().astype(int32),
@@ -189,7 +189,8 @@ class PerceptionPipeline:
 
             # One packed array -> one d2h transfer for all detection
             # results (each round trip costs ~25 ms through a tunneled
-            # runtime). Layout: 4 box + 10 landmark + score + mask.
+            # runtime). Layout: 4 box + 10 landmark + score + mask +
+            # per-image NMS overflow flag (broadcast along K).
             result = {
                 "det_packed": jnp.concatenate(
                     [
@@ -199,6 +200,10 @@ class PerceptionPipeline:
                         ).astype(jnp.float32),
                         scores[..., None],
                         mask[..., None].astype(jnp.float32),
+                        jnp.broadcast_to(
+                            det_overflow[:, None, None],
+                            scores.shape + (1,),
+                        ).astype(jnp.float32),
                     ],
                     axis=-1,
                 )
@@ -271,20 +276,24 @@ class PerceptionPipeline:
             heat = upsample_bicubic(heat.astype(jnp.float32), 8)
 
             def per_image(paf_i, heat_i):
-                coords, scores, valid = find_peaks(
+                coords, scores, valid, overflow = find_peaks(
                     heat_i[..., :NUM_PARTS], self.keypoint_threshold,
                     self.max_peaks,
                 )
                 reg, accept = limb_scores(
                     paf_i, coords, valid, self.thresh_midpoint
                 )
-                # Pack: peaks (P, K, 4) = y, x, score, valid;
-                # limbs (L, K, K, 2) = reg, accept. Two transfers total.
+                # Pack: peaks (P, K, 5) = y, x, score, valid, part overflow
+                # (broadcast along K); limbs (L, K, K, 2) = reg, accept.
+                # Two transfers total.
                 peaks = jnp.concatenate(
                     [
                         coords.astype(jnp.float32),
                         scores[..., None],
                         valid[..., None].astype(jnp.float32),
+                        jnp.broadcast_to(
+                            overflow[:, None, None], coords.shape[:2] + (1,)
+                        ).astype(jnp.float32),
                     ],
                     axis=-1,
                 )
@@ -314,20 +323,21 @@ class PerceptionPipeline:
             return jax.device_put(frames, batch_sharding(self.mesh))
         return jax.device_put(frames)
 
+    def _stage(self, name, items=0):
+        """Timing context for one pipeline stage (no-op without a timer)."""
+        import contextlib
+
+        if self.timer is None:
+            return contextlib.nullcontext()
+        return self.timer.stage(name, items)
+
     def process_batch(self, frames):
         """Run the full pipeline on an (N, H, W, 3) uint8 RGB batch.
 
         Returns a dict of device arrays (faces/embeddings) and, when pose is
         enabled, the per-image assembled pose dicts.
         """
-        import contextlib
-
-        def stage(name, items=0):
-            if self.timer is None:
-                return contextlib.nullcontext()
-            return self.timer.stage(name, items)
-
-        return self.finalize_batch(*self.dispatch_batch(frames, stage), stage)
+        return self.finalize_batch(*self.dispatch_batch(frames))
 
     def dispatch_batch(self, frames, stage=None):
         """Enqueue all device work for one batch without synchronising.
@@ -335,16 +345,15 @@ class PerceptionPipeline:
         Returns (out dict of in-flight device arrays, pose tuple or None,
         n, pose_scale).
         """
-        import contextlib
-
         if stage is None:
-            def stage(name, items=0):
-                return contextlib.nullcontext()
+            stage = self._stage
 
-        frames = np.asarray(frames)
+        if not hasattr(frames, "shape"):
+            frames = np.asarray(frames)
         n = frames.shape[0]
         if self.mesh is not None:
-            frames, n = pad_batch_to_multiple(frames, self.mesh.size)
+            # Mesh padding needs host-side concatenation.
+            frames, n = pad_batch_to_multiple(np.asarray(frames), self.mesh.size)
 
         full_h, full_w = frames.shape[1:3]
         with stage("h2d", items=n):
@@ -381,19 +390,18 @@ class PerceptionPipeline:
 
     def finalize_batch(self, out, pose_out, n, pose_scale, stage=None):
         """Fetch results and run the host stages for a dispatched batch."""
-        import contextlib
-
         if stage is None:
-            def stage(name, items=0):
-                return contextlib.nullcontext()
+            stage = self._stage
 
         if pose_out is not None:
             with stage("pose_fetch", items=n):
                 from terran_tpu.ops.pose_decode import unpack_pose_outputs
 
-                coords, scores, valid, reg, accept = unpack_pose_outputs(
+                (coords, scores, valid, reg, accept,
+                 pose_overflow) = unpack_pose_outputs(
                     *map(np.asarray, pose_out)
                 )
+                out["pose_overflow"] = pose_overflow[:n].any(axis=-1)
             with stage("pose_assembly", items=n):
                 poses = []
                 for i in range(n):
@@ -413,6 +421,7 @@ class PerceptionPipeline:
         out["landmarks"] = det[..., 4:14].reshape(n, k, 5, 2).astype(np.int32)
         out["scores"] = det[..., 14].astype(np.float32)
         out["mask"] = det[..., 15] > 0.5
+        out["det_overflow"] = det[..., 0, 16] > 0.5
         if "emb_packed" in out:
             emb = np.asarray(out.pop("emb_packed"))[:n]
             out["embeddings"] = emb[..., :-1]
@@ -421,20 +430,43 @@ class PerceptionPipeline:
             out["poses"] = out["poses"][:n]
         return out
 
-    def process_stream(self, batches):
-        """Software-pipelined batch processing: batch i+1's device work
-        (upload + all three programs) is dispatched before batch i's host
-        stages run, so transfers and TPU compute overlap host
-        fetch/assembly. Yields one result dict per input batch, in order.
+    def process_stream(self, batches, depth=None, prefetch=True):
+        """Software-pipelined batch processing.
+
+        ``depth`` batches are kept dispatched ahead of the oldest
+        unfinished batch (default: config ``pipeline_depth``), so while
+        batch *i*'s results download and its host stages run, batch *i+1*
+        is computing and batch *i+2* is crossing the host->device link.
+
+        With ``prefetch`` (single-device only), uploads additionally move
+        to a background thread (``io.video.prefetch.threaded_device_put``),
+        which keeps the link busy even when ``jax.device_put`` blocks the
+        calling thread — the case on tunneled runtimes.
+
+        Yields one result dict per input batch, in order.
         """
-        pending = None
+        from collections import deque
+
+        if depth is None:
+            from terran_tpu.config import get_config
+
+            depth = get_config().pipeline_depth
+        depth = max(1, depth)
+
+        if prefetch and self.mesh is None:
+            from terran_tpu.io.video.prefetch import threaded_device_put
+
+            batches = threaded_device_put(
+                batches, depth=depth, put=self.put_frames
+            )
+
+        pending = deque()
         for frames in batches:
-            dispatched = self.dispatch_batch(frames)
-            if pending is not None:
-                yield self.finalize_batch(*pending)
-            pending = dispatched
-        if pending is not None:
-            yield self.finalize_batch(*pending)
+            pending.append(self.dispatch_batch(frames))
+            if len(pending) > depth:
+                yield self.finalize_batch(*pending.popleft())
+        while pending:
+            yield self.finalize_batch(*pending.popleft())
 
     def faces_from(self, out):
         """Convert step outputs to the task-API list-of-dicts contract."""

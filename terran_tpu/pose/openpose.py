@@ -84,9 +84,17 @@ class OpenPoseEstimator:
         peaks, limbs = decode(self.params, resized)
         from terran_tpu.ops.pose_decode import unpack_pose_outputs
 
-        coords, scores, valid, reg, accept = unpack_pose_outputs(
+        coords, scores, valid, reg, accept, overflow = unpack_pose_outputs(
             np.asarray(peaks), np.asarray(limbs)
         )
+        if overflow.any():
+            from terran_tpu.utils.profiling import get_logger
+
+            get_logger().warning(
+                "pose max_peaks=%d saturated on %d part heatmap(s); weakest "
+                "peaks were dropped — raise max_peaks_per_part",
+                self.max_peaks, int(overflow.sum()),
+            )
 
         batch_objects = []
         for i in range(n):

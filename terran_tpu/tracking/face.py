@@ -290,15 +290,17 @@ def face_tracking(*, video=None, max_age=None, min_hits=None, detector=None,
 
     if detector is None:
         detector = face_detection
-    elif not isinstance(detector, Detection) and not hasattr(
-        detector, "_resolve"
-    ):
+    else:
         # The exported ``face_detection`` is a lazy proxy, not a Detection
-        # instance; accept it (and anything resolvable) like the reference
-        # accepts its real singleton.
-        raise ValueError(
-            "`detector` must be an instance of `terran_tpu.face.Detection`."
-        )
+        # instance; accept exactly it or a real Detection, like the
+        # reference accepts its singleton (tracking/face.py:528-533).
+        from terran_tpu.face.detection import _LazyDetection
+
+        if not isinstance(detector, (Detection, _LazyDetection)):
+            raise ValueError(
+                "`detector` must be an instance of "
+                "`terran_tpu.face.Detection`."
+            )
 
     sort = Sort(
         max_age=max_age,

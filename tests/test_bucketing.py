@@ -37,10 +37,10 @@ def test_padding_region_anchors_masked(params, rng):
     image[:, :96, :96] = rng.integers(0, 255, (1, 96, 96, 3))
 
     # Unmasked: random weights fire everywhere.
-    _, _, scores_full, mask_full = unpack_detections(
+    _, _, scores_full, mask_full, _ = unpack_detections(
         np.asarray(detect(params, image, 0.5, 128, 128)))
     # Masked to the valid 96x96 region.
-    boxes, lmks, scores, mask = unpack_detections(
+    boxes, lmks, scores, mask, _ = unpack_detections(
         np.asarray(detect(params, image, 0.5, 96, 96)))
 
     from terran_tpu.models.retinaface import anchors_for_shape
@@ -51,7 +51,7 @@ def test_padding_region_anchors_masked(params, rng):
     # first cell of each stride (2 anchors each — what the reference would
     # evaluate for a 1px image), and a 96x96 region keeps at most the
     # ceil(96/stride)^2 cells' anchors.
-    _, _, scores_one, mask_one = unpack_detections(
+    _, _, scores_one, mask_one, _ = unpack_detections(
         np.asarray(detect(params, image, 0.0, 1, 1)))
     assert int((np.asarray(scores_one) > 0).sum()) <= 3 * 2
     assert np.asarray(mask).sum() <= np.asarray(mask_full).sum()
@@ -84,9 +84,9 @@ def test_exact_mode_masks_nothing(params, rng):
     # threshold=0 keeps everything above sigmoid floor; with no mask, the
     # kept count must match running with an effectively-infinite valid
     # region.
-    _, _, s_exact, m_exact = unpack_detections(
+    _, _, s_exact, m_exact, _ = unpack_detections(
         np.asarray(detect(params, image, 0.0, 100, 100)))
-    _, _, s_huge, m_huge = unpack_detections(
+    _, _, s_huge, m_huge, _ = unpack_detections(
         np.asarray(detect(params, image, 0.0, 10_000, 10_000)))
     assert np.asarray(m_exact).sum() == np.asarray(m_huge).sum()
     np.testing.assert_allclose(
@@ -104,7 +104,7 @@ def test_pad_mode_masks_only_padding_cells(params, rng):
     image = np.zeros((1, 128, 128, 3), np.uint8)
     image[:, :100, :100] = rng.integers(0, 255, (1, 100, 100, 3))
 
-    _, _, scores, mask = unpack_detections(
+    _, _, scores, mask, _ = unpack_detections(
         np.asarray(detect(params, image, 0.0, 100, 100)))
     # Expected surviving anchors: ceil(100/s)^2 * A per stride.
     expected = sum(

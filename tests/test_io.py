@@ -189,6 +189,42 @@ def test_device_prefetch_preserves_order_and_content():
         np.testing.assert_array_equal(np.asarray(dev), host)
 
 
+def test_threaded_device_put_order_content_and_errors():
+    from terran_tpu.io.video.prefetch import threaded_device_put
+
+    video = SyntheticVideo(width=16, height=8, num_frames=12, batch_size=4)
+    host_batches = list(
+        SyntheticVideo(width=16, height=8, num_frames=12, batch_size=4)
+    )
+    dev_batches = list(threaded_device_put(video, depth=2))
+    assert len(dev_batches) == len(host_batches)
+    for dev, host in zip(dev_batches, host_batches):
+        np.testing.assert_array_equal(np.asarray(dev), host)
+
+    # Source exceptions propagate to the consumer.
+    def failing():
+        yield host_batches[0]
+        raise RuntimeError("decoder died")
+
+    it = threaded_device_put(failing(), depth=2)
+    np.testing.assert_array_equal(np.asarray(next(it)), host_batches[0])
+    with pytest.raises(RuntimeError, match="decoder died"):
+        next(it)
+
+    # Early consumer exit doesn't leave the uploader blocked forever.
+    import threading
+    import time
+
+    before = threading.active_count()
+    it2 = threaded_device_put(iter(host_batches * 4), depth=1)
+    next(it2)
+    it2.close()
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_resolve_images_flushes_trailing_batch(tmp_path):
     for i in range(5):
         Image.fromarray(

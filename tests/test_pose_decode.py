@@ -31,8 +31,11 @@ def numpy_find_peaks(heatmap, threshold):
 
 def test_find_peaks_matches_numpy(rng):
     heat = rng.normal(scale=0.2, size=(24, 30, NUM_PARTS)).astype(np.float32)
-    coords, scores, valid = find_peaks(jnp.asarray(heat), 0.1, max_peaks=256)
+    coords, scores, valid, overflow = find_peaks(
+        jnp.asarray(heat), 0.1, max_peaks=256
+    )
     coords, scores, valid = map(np.asarray, (coords, scores, valid))
+    assert not np.asarray(overflow).any()
     for p in range(NUM_PARTS):
         expected = numpy_find_peaks(heat[..., p], 0.1)
         n = valid[p].sum()
@@ -45,12 +48,41 @@ def test_find_peaks_matches_numpy(rng):
         )
 
 
-def test_find_peaks_overflow_keeps_first_rows(rng):
+def test_find_peaks_overflow_keeps_strongest_row_major(rng):
+    """Oversubscribed part: the K highest-scoring peaks survive, re-ordered
+    row-major, and the part's overflow flag is set."""
+    heat = np.zeros((12, 12, NUM_PARTS), np.float32)
+    # 8 isolated peaks with distinct scores, scattered over the interior.
+    spots = [(1, 1, 0.2), (1, 6, 0.9), (3, 3, 0.4), (4, 9, 0.8),
+             (6, 2, 0.3), (7, 7, 0.7), (9, 4, 0.6), (10, 10, 0.5)]
+    for y, x, v in spots:
+        heat[y, x, :] = v
+
+    coords, scores, valid, overflow = find_peaks(
+        jnp.asarray(heat), 0.1, max_peaks=4
+    )
+    coords, scores, valid = map(np.asarray, (coords, scores, valid))
+    assert np.asarray(overflow).all()
+    assert valid.all()
+    # Top-4 by score: 0.9@(1,6), 0.8@(4,9), 0.7@(7,7), 0.6@(9,4) — emitted
+    # row-major, exactly the order the reference's torch.nonzero would give
+    # for this subset.
+    np.testing.assert_array_equal(
+        coords[0], [[1, 6], [4, 9], [7, 7], [9, 4]]
+    )
+    np.testing.assert_allclose(scores[0], [0.9, 0.8, 0.7, 0.6], rtol=1e-6)
+
+
+def test_find_peaks_plateau_tie_break(rng):
     heat = np.full((10, 10, NUM_PARTS), 0.9, np.float32)  # plateau: all peaks
-    coords, scores, valid = find_peaks(jnp.asarray(heat), 0.1, max_peaks=4)
+    coords, scores, valid, overflow = find_peaks(
+        jnp.asarray(heat), 0.1, max_peaks=4
+    )
     coords, valid = np.asarray(coords), np.asarray(valid)
     assert valid.all()
-    # Row-major order preserved: first interior row first.
+    assert np.asarray(overflow).all()
+    # Equal scores tie-break toward earlier row-major positions, so the
+    # first interior row still comes first.
     np.testing.assert_array_equal(coords[0, 0], [1, 1])
     np.testing.assert_array_equal(coords[0, 1], [1, 2])
 
@@ -172,7 +204,7 @@ def test_assembly_two_people_end_to_end():
     p2 = _person((60, 70))
     heat, pafs = _scene_with_people([p1, p2])
 
-    coords, scores, valid = find_peaks(jnp.asarray(heat[..., :18]), 0.1, 16)
+    coords, scores, valid, _ = find_peaks(jnp.asarray(heat[..., :18]), 0.1, 16)
     reg, accept = limb_scores(
         jnp.asarray(pafs), coords, valid, 0.05
     )

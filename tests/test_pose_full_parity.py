@@ -170,7 +170,7 @@ def reference_decode_numpy(heatmaps, pafs, keypoint_threshold=0.1,
 
 def framework_decode(heatmaps, pafs, max_peaks=64, scale=1.0,
                      use_native=None):
-    coords, scores, valid = find_peaks(
+    coords, scores, valid, _ = find_peaks(
         jnp.asarray(heatmaps[..., :NUM_PARTS]), 0.1, max_peaks
     )
     reg, accept = limb_scores(jnp.asarray(pafs), coords, valid, 0.05)

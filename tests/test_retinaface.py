@@ -140,7 +140,7 @@ def test_detect_fn_shapes(converted):
     model = RetinaFace()
     detect = make_detect_fn(model, 64, 96, top_k=32)
     images = np.zeros((2, 64, 96, 3), np.uint8)
-    boxes, lmks, scores, mask = unpack_detections(
+    boxes, lmks, scores, mask, _ = unpack_detections(
         np.asarray(detect(params, images, 0.5))
     )
     assert boxes.shape == (2, 32, 4)

@@ -22,6 +22,8 @@ COMPONENTS = [
     ("terran_tpu.io.video.reader", ["Video", "open_video", "ffmpeg_probe"]),
     ("terran_tpu.io.video.writer", ["VideoWriter", "write_video"]),
     ("terran_tpu.io.video.synthetic", ["SyntheticVideo"]),
+    ("terran_tpu.io.video.parallel", ["ParallelVideo",
+                                      "open_video_parallel"]),
     ("terran_tpu.io.video.prefetch", ["device_prefetch",
                                       "fixed_shape_batches"]),
     ("terran_tpu.io.streams", ["StreamMultiplexer", "MultiStreamPerception"]),

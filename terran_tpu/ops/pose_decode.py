@@ -93,16 +93,13 @@ def find_peaks(heatmaps, threshold, max_peaks):
     return coords, jnp.where(valid, scores, 0.0), valid, overflow
 
 
-def limb_scores(pafs, coords, valid, thresh_midpoint):
-    """Line-integral limb scoring for all limbs/pairs at once.
+def _limb_geometry(coords, valid, ups_h, ups_w):
+    """Shared pair geometry for limb scoring.
 
-    pafs: (H, W, 38); coords: (P, K, 2) int (y, x); valid: (P, K).
-    Returns (reg_scores (L, K, K), accept (L, K, K) bool) where ``accept``
-    combines the reference's two criteria and slot validity.
+    coords: (P, K, 2) int peak positions in the UPSAMPLED grid; valid:
+    (P, K). Returns (seg_y, seg_x (L, K, K, M) int32 clipped to the
+    upsampled bounds, dirs (L, K, K, 2), norms, safe_norms, pair_valid).
     """
-    h, w, _ = pafs.shape
-    k = coords.shape[1]
-
     src_parts = LIMBSEQ[:, 0]  # (L,)
     dst_parts = LIMBSEQ[:, 1]
 
@@ -130,8 +127,46 @@ def limb_scores(pafs, coords, valid, thresh_midpoint):
         + step_size[:, :, :, None, :] * steps[None, None, None, :, None]
     )  # (L, K, K, M, 2)
     seg = seg.astype(jnp.int32)
-    seg_y = jnp.clip(seg[..., 0], 0, h - 1)
-    seg_x = jnp.clip(seg[..., 1], 0, w - 1)
+    seg_y = jnp.clip(seg[..., 0], 0, ups_h - 1)
+    seg_x = jnp.clip(seg[..., 1], 0, ups_w - 1)
+
+    pair_valid = val_src[:, :, None] & val_dst[:, None, :] & (norms > 0)
+    return seg_y, seg_x, dirs, norms, safe_norms, pair_valid
+
+
+def _score_pairs(px, py, dirs, safe_norms, pair_valid, ups_h,
+                 thresh_midpoint):
+    """Midpoint scores -> (reg, accept), given sampled PAF values."""
+    # midpoint score = paf_x * dx + paf_y * dy (direction flip,
+    # wrapper.py:308-315).
+    mid = px * dirs[..., 1][..., None] + py * dirs[..., 0][..., None]
+
+    # Length-regularised score (wrapper.py:320-323); the reference's
+    # pafs.shape[1] is the upsampled height H.
+    reg = mid.mean(axis=-1) + jnp.minimum(
+        0.5 * ups_h / safe_norms - 1.0, 0.0
+    )
+
+    crit1 = (mid > thresh_midpoint).sum(axis=-1) > 0.8 * NUM_MIDPOINTS
+    crit2 = reg > 0
+    accept = crit1 & crit2 & pair_valid
+    return reg, accept
+
+
+def limb_scores(pafs, coords, valid, thresh_midpoint):
+    """Line-integral limb scoring for all limbs/pairs at once.
+
+    pafs: (H, W, 38) — the UPSAMPLED field; coords: (P, K, 2) int (y, x);
+    valid: (P, K). Returns (reg_scores (L, K, K), accept (L, K, K) bool)
+    where ``accept`` combines the reference's two criteria and slot
+    validity. Production paths use :func:`limb_scores_sampled`, which
+    never materialises the upsampled field.
+    """
+    h, w, _ = pafs.shape
+    k = coords.shape[1]
+    seg_y, seg_x, dirs, norms, safe_norms, pair_valid = _limb_geometry(
+        coords, valid, h, w
+    )
 
     # PAF channel pair per limb: MAP_IDX[l] = (x-channel, y-channel).
     paf_x = jnp.transpose(pafs, (2, 0, 1))[MAP_IDX[:, 0]]  # (L, H, W)
@@ -147,21 +182,41 @@ def limb_scores(pafs, coords, valid, thresh_midpoint):
         paf_y_flat, flat_idx.reshape(NUM_LIMBS, -1)
     ).reshape(NUM_LIMBS, k, k, NUM_MIDPOINTS)
 
-    # midpoint score = paf_x * dx + paf_y * dy (direction flip,
-    # wrapper.py:308-315).
-    mid = px * dirs[..., 1][..., None] + py * dirs[..., 0][..., None]
-
-    # Length-regularised score (wrapper.py:320-323); the reference's
-    # pafs.shape[1] is the upsampled height H.
-    reg = mid.mean(axis=-1) + jnp.minimum(0.5 * h / safe_norms - 1.0, 0.0)
-
-    crit1 = (mid > thresh_midpoint).sum(axis=-1) > 0.8 * NUM_MIDPOINTS
-    crit2 = reg > 0
-    pair_valid = (
-        val_src[:, :, None] & val_dst[:, None, :] & (norms > 0)
+    return _score_pairs(
+        px, py, dirs, safe_norms, pair_valid, h, thresh_midpoint
     )
-    accept = crit1 & crit2 & pair_valid
-    return reg, accept
+
+
+def limb_scores_sampled(pafs_small, factor, coords, valid, thresh_midpoint):
+    """Limb scoring that samples the bicubic-upsampled PAF field directly.
+
+    Bit-identical to ``limb_scores(upsample_bicubic(pafs_small, factor,
+    axes=(0, 1)), ...)`` without materialising the x8 field.
+
+    NOT the production path on TPU: the 16 gathers per sampled point lose
+    to the dense phase-FIR upsample's VPU vectorisation (measured on v5e,
+    batch 8 @1080p: 82.6 device-only fps materialised vs 25.3 sampled), so
+    ``pipeline.py`` and ``make_pose_decode`` materialise. Kept as the
+    memory-lean formulation for gather-friendly backends and as the
+    bitwise cross-check of the upsample (test_pose_decode.py).
+
+    pafs_small: (h, w, 38) — the network-resolution field.
+    """
+    from terran_tpu.ops.upsample import sample_bicubic
+
+    h, w, _ = pafs_small.shape
+    ups_h, ups_w = h * factor, w * factor
+    seg_y, seg_x, dirs, norms, safe_norms, pair_valid = _limb_geometry(
+        coords, valid, ups_h, ups_w
+    )
+
+    planes = jnp.transpose(pafs_small, (2, 0, 1))  # (38, h, w)
+    px = sample_bicubic(planes[MAP_IDX[:, 0]], factor, seg_y, seg_x)
+    py = sample_bicubic(planes[MAP_IDX[:, 1]], factor, seg_y, seg_x)
+
+    return _score_pairs(
+        px, py, dirs, safe_norms, pair_valid, ups_h, thresh_midpoint
+    )
 
 
 def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
@@ -180,6 +235,9 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
     def decode(params, images):
         x = images.astype(jnp.float32) / 255.0 - 0.5
         paf, heat = model.apply({"params": params}, x.astype(model.compute_dtype))
+        # Both fields are materialised at x8: dense phase-FIR upsampling
+        # beats point-sampling the Keys filter on TPU (see the measurement
+        # note in terran_tpu/pipeline.py::_pose_fn).
         paf = upsample_bicubic(paf.astype(jnp.float32), downsampling_ratio)
         heat = upsample_bicubic(heat.astype(jnp.float32), downsampling_ratio)
 

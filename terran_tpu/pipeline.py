@@ -272,6 +272,12 @@ class PerceptionPipeline:
                 {"params": pose_params},
                 x.astype(self.pose_model.compute_dtype),
             )
+            # Both fields are materialised at x8: the dense phase-FIR
+            # upsample vectorises on the VPU and measures ~3x faster
+            # end-to-end than sampling the Keys filter at the segment
+            # points (ops/pose_decode.py::limb_scores_sampled), whose 16
+            # gathers/point dominate on TPU (measured on v5e, batch 8
+            # @1080p: 82.6 -> 25.3 device-only fps).
             paf = upsample_bicubic(paf.astype(jnp.float32), 8)
             heat = upsample_bicubic(heat.astype(jnp.float32), 8)
 

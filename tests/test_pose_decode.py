@@ -87,6 +87,36 @@ def test_find_peaks_plateau_tie_break(rng):
     np.testing.assert_array_equal(coords[0, 1], [1, 2])
 
 
+def test_limb_scores_sampled_bitwise_matches_materialized(rng):
+    """The production path samples the bicubic field at segment points
+    (limb_scores_sampled); it must be bit-identical to scoring against the
+    fully materialised upsample."""
+    from terran_tpu.ops.pose_decode import limb_scores_sampled
+    from terran_tpu.ops.upsample import upsample_bicubic
+
+    h, w, k, factor = 24, 30, 6, 8
+    pafs_small = rng.normal(scale=0.3, size=(h, w, 38)).astype(np.float32)
+    coords = rng.integers(
+        0, min(h, w) * factor - 1, size=(NUM_PARTS, k, 2)
+    ).astype(np.int32)
+    valid = rng.uniform(size=(NUM_PARTS, k)) < 0.7
+
+    pafs_up = upsample_bicubic(
+        jnp.asarray(pafs_small)[None], factor
+    )[0]
+    reg_ref, accept_ref = limb_scores(
+        pafs_up, jnp.asarray(coords), jnp.asarray(valid), 0.05
+    )
+    reg_got, accept_got = limb_scores_sampled(
+        jnp.asarray(pafs_small), factor, jnp.asarray(coords),
+        jnp.asarray(valid), 0.05
+    )
+    np.testing.assert_array_equal(np.asarray(reg_got), np.asarray(reg_ref))
+    np.testing.assert_array_equal(
+        np.asarray(accept_got), np.asarray(accept_ref)
+    )
+
+
 def _upsampled_size(s):
     return s
 

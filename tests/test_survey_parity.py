@@ -39,6 +39,7 @@ COMPONENTS = [
     ("terran_tpu.ops.upsample", ["upsample_bicubic"]),
     ("terran_tpu.ops.resize", ["resize_bilinear", "resized_shape"]),
     ("terran_tpu.ops.pose_decode", ["find_peaks", "limb_scores",
+                                    "limb_scores_sampled",
                                     "make_pose_decode",
                                     "unpack_pose_outputs", "LIMBSEQ",
                                     "MAP_IDX"]),

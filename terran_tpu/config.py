@@ -51,6 +51,10 @@ class Config:
     # Numerics.
     compute_dtype: str = "bfloat16"
 
+    # Pose peak finding: 'auto' uses the fused Pallas upsample+peak-scan
+    # kernel on TPU and the XLA path elsewhere; 'on'/'off' force it.
+    fused_peaks: str = "auto"
+
     # Shape policy: 'exact' (one program per shape) or 'pad' (64px buckets).
     bucketing: str = "exact"
 

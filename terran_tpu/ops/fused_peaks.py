@@ -1,0 +1,327 @@
+"""Fused bicubic-upsample + peak-scan Pallas kernel.
+
+The OpenPose decode needs the local maxima of the x8 bicubic upsample of
+each part heatmap (reference wrapper.py:212-262). The XLA path
+materialises the upsampled field — (1472, 2616, 18) f32 per 1080p image —
+and runs top_k over all ~70M elements per batch; both are pure HBM
+traffic. This kernel computes the upsample in PHASE SPACE: for a band of
+source rows it builds the 64 phase images Q[ry, rx] (each the size of the
+SOURCE band) in VMEM, applies the 4-neighbour/threshold peak rule between
+phase images (a neighbour in the upsampled grid is the adjacent phase, or
+the adjacent source row/column when the phase wraps), and emits only a
+fixed-K candidate table per band — the x8 field never exists in HBM.
+
+Semantics match ``find_peaks(upsample_bicubic(heat, 8))`` whenever a
+part has at most ``max_peaks`` peaks (the non-saturated regime, same
+guarantee the XLA path gives): top-K by score, score ties toward earlier
+row-major positions, kept set re-ordered row-major, exact per-part
+overflow flags. Two caveats: scores can differ from the XLA path by
+float-contraction ulps (the two lowerings fuse multiply-adds
+differently), which can flip knife-edge comparisons on exact ties; and
+under saturation the kernel pre-selects the strongest ``max_peaks`` per
+band before the global merge (the XLA path selects globally) — the
+overflow flag marks that regime.
+
+Kernel layout: grid (planes, bands); per program the padded source plane
+(a few hundred KB) sits in VMEM, the band's 64 phase images are built by
+two 4-tap FIR passes (H then W, same tap order as ops/upsample.py so
+values are bit-identical), and a fixed-K iterative max-extraction writes
+(score, linear row-major index) pairs plus the band's exact peak count.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from terran_tpu.ops.upsample import _phase_table
+
+_PAD = 3          # edge padding applied to the source plane (>= FIR reach)
+_BIG = np.int32(2**31 - 1)
+
+
+def _band_kernel(plane_ref, score_ref, lin_ref, count_ref,
+                 scores_scratch, lin_scratch, *,
+                 factor, tb, h, w, threshold, k_out):
+    """One (plane, band) program: phase-space peak scan over ``tb`` source
+    rows (plus one halo row each side for cross-band neighbours)."""
+    band = pl.program_id(1)
+    b0 = band * tb
+
+    bases, weights = _phase_table(factor)
+
+    # --- H-axis FIR: hq[ry] has rows yb_local in [-1, tb+1) -------------
+    # Source row of tap i for output row (b0 + yb_local) is
+    # b0 + yb_local + base_ry + (i - 1); +_PAD into the padded plane and
+    # +(-1) for the halo start. Mosaic requires dynamic sublane offsets to
+    # be provably 8-aligned, so one slab is loaded at the (8-aligned,
+    # since tb % 8 == 0) band start and every tap is a static sub-slice:
+    # relative to b0, tap rows sit at base + 1 + i in [0, 5].
+    # Rows needed relative to b0: taps span [0, tb+6) (rel in [0, 4],
+    # slab_rows = tb+2), exactly what the padded plane provides for the
+    # last band.
+    slab_rows = tb + 2
+    slab_all = plane_ref[0, pl.ds(pl.multiple_of(b0, 8), tb + 6), :]
+    hq = []
+    for ry in range(factor):
+        base = bases[ry]
+        wv = weights[ry]
+        rel = base + 1  # static
+        taps = [
+            slab_all[rel + i: rel + i + slab_rows, :] for i in range(4)
+        ]
+        hq.append(
+            wv[0] * taps[0] + wv[1] * taps[1]
+            + wv[2] * taps[2] + wv[3] * taps[3]
+        )
+
+    # --- W-axis FIR: q[ry][rx] is (slab_rows, w) ------------------------
+    q = []
+    for ry in range(factor):
+        row = []
+        for rx in range(factor):
+            base = bases[rx]
+            wv = weights[rx]
+            start = base + _PAD - 1  # xb=0, j=0 (static)
+            taps = [hq[ry][:, start + j: start + j + w] for j in range(4)]
+            row.append(
+                wv[0] * taps[0] + wv[1] * taps[1]
+                + wv[2] * taps[2] + wv[3] * taps[3]
+            )
+        q.append(row)
+
+    # --- peak rule between phase images ---------------------------------
+    # Band rows of q are slab rows [1, tb+1); slab row 0 / tb+1 are the
+    # halo rows used when an upsampled neighbour crosses a source row.
+    cur_sl = slice(1, tb + 1)
+    up_h = h * factor
+    up_w = w * factor
+
+    yb_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, w), 0) + b0
+    xb_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, w), 1)
+
+    total = jnp.zeros((), jnp.int32)
+    for ry in range(factor):
+        for rx in range(factor):
+            cur = q[ry][rx][cur_sl]
+            if ry > 0:
+                up = q[ry - 1][rx][cur_sl]
+            else:
+                up = q[factor - 1][rx][0:tb]
+            if ry < factor - 1:
+                down = q[ry + 1][rx][cur_sl]
+            else:
+                down = q[0][rx][2:tb + 2]
+            if rx > 0:
+                left = q[ry][rx - 1][cur_sl]
+            else:
+                left = jnp.roll(q[ry][factor - 1][cur_sl], 1, axis=1)
+            if rx < factor - 1:
+                right = q[ry][rx + 1][cur_sl]
+            else:
+                right = jnp.roll(q[ry][0][cur_sl], -1, axis=1)
+
+            y_ids = yb_ids * factor + ry   # upsampled row of each element
+            x_ids = xb_ids * factor + rx
+            interior = (
+                (y_ids >= 1) & (y_ids <= up_h - 2)
+                & (x_ids >= 1) & (x_ids <= up_w - 2)
+                & (yb_ids < h)            # cdiv band padding
+            )
+            mask = (
+                (cur >= up) & (cur >= down) & (cur >= left)
+                & (cur >= right) & (cur >= threshold) & interior
+            )
+            total = total + jnp.sum(mask.astype(jnp.int32))
+            # Stage each phase's candidates into VMEM scratch at a static
+            # row offset. (Concatenating the 64 FIR-sliced blocks — or
+            # carrying them through the extraction loop — crashes the
+            # Mosaic lowering in this jax version; staging through a ref
+            # normalises the layouts.)
+            row0 = (ry * factor + rx) * tb
+            scores_scratch[row0:row0 + tb, :] = jnp.where(
+                mask, cur, -jnp.inf
+            )
+            lin_scratch[row0:row0 + tb, :] = jnp.where(
+                mask, y_ids * up_w + x_ids, _BIG
+            )
+
+    count_ref[0, 0, 0, :] = total.reshape(1)
+
+    # --- fixed-K extraction: strongest first, row-major tie-break -------
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k_out), 1)
+
+    def extract(idx, carry):
+        out_s, out_l = carry
+        scores_cur = scores_scratch[:]
+        lin_all = lin_scratch[:]
+        best = jnp.max(scores_cur)
+        best_lin = jnp.min(
+            jnp.where(scores_cur == best, lin_all, _BIG)
+        )
+        # One-hot select (dynamic_update_slice has no Mosaic lowering).
+        out_s = jnp.where(slot_ids == idx, best, out_s)
+        out_l = jnp.where(slot_ids == idx, best_lin, out_l)
+        scores_scratch[:] = jnp.where(
+            lin_all == best_lin, -jnp.inf, scores_cur
+        )
+        return out_s, out_l
+
+    init = (
+        jnp.full((1, k_out), -jnp.inf, jnp.float32),
+        jnp.full((1, k_out), _BIG, jnp.int32),
+    )
+    out_s, out_l = jax.lax.fori_loop(0, k_out, extract, init)
+    # Full-block stores only: dynamic-offset stores into the lane dim
+    # crash the Mosaic lowering in this jax version, so each (plane, band)
+    # program owns its whole output block.
+    score_ref[0, 0, 0, :] = out_s[0]
+    lin_ref[0, 0, 0, :] = out_l[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("threshold", "max_peaks", "factor", "band_rows",
+                     "interpret"),
+)
+def _fused_peak_candidates(planes, threshold, max_peaks, factor, band_rows,
+                           interpret):
+    """planes: (M, h, w) f32 -> (scores (M, B, K), lin (M, B, K),
+    counts (M, B))."""
+    m, h, w = planes.shape
+    if band_rows % 8:
+        raise ValueError("band_rows must be a multiple of 8 (sublane "
+                         "alignment of the per-band loads)")
+    bands = pl.cdiv(h, band_rows)
+
+    # Edge padding implements torch's clamped border taps; rows also pad
+    # out to the band grid so every in-kernel slice is in range.
+    rows_padded = bands * band_rows + 2 * _PAD
+    padded = jnp.pad(
+        planes, ((0, 0), (_PAD, _PAD), (_PAD, _PAD)), mode="edge"
+    )
+    padded = jnp.pad(
+        padded, ((0, 0), (0, rows_padded - padded.shape[1]), (0, 0)),
+        mode="edge",
+    )
+
+    kernel = functools.partial(
+        _band_kernel, factor=factor, tb=band_rows, h=h, w=w,
+        threshold=threshold, k_out=max_peaks,
+    )
+    # Each (plane, band) program owns one whole output block; the
+    # singleton sublane dim satisfies the TPU block constraint (the last
+    # two block dims must divide (8, 128) or equal the array's).
+    scores, lin, counts = pl.pallas_call(
+        kernel,
+        grid=(m, bands),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows_padded, w + 2 * _PAD),
+                lambda p, b: (p, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, max_peaks), lambda p, b: (p, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, max_peaks), lambda p, b: (p, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda p, b: (p, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, bands, 1, max_peaks), jnp.float32),
+            jax.ShapeDtypeStruct((m, bands, 1, max_peaks), jnp.int32),
+            jax.ShapeDtypeStruct((m, bands, 1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((factor * factor * band_rows, w), jnp.float32),
+            pltpu.VMEM((factor * factor * band_rows, w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(padded)
+    return (
+        scores.reshape(m, bands, max_peaks),
+        lin.reshape(m, bands, max_peaks),
+        counts.reshape(m, bands),
+    )
+
+
+def fused_peaks_enabled(setting=None):
+    """Resolve the ``fused_peaks`` config setting ('auto'/'on'/'off'):
+    'auto' enables the kernel exactly when the backend is a real TPU."""
+    if setting is None:
+        from terran_tpu.config import get_config
+
+        setting = get_config().fused_peaks
+    if setting == "on":
+        return True
+    if setting == "off":
+        return False
+    return jax.devices()[0].platform == "tpu"
+
+
+def find_peaks_fused(heatmaps, threshold, max_peaks, factor=8,
+                     band_rows=16, interpret=None):
+    """Drop-in fused equivalent of
+    ``find_peaks(upsample_bicubic(heatmaps, factor), threshold, max_peaks)``.
+
+    heatmaps: (..., h, w, P) SOURCE-resolution float maps (leading batch
+    dims optional). Returns (coords (..., P, K, 2) int32 (y, x) in the
+    UPSAMPLED grid, scores (..., P, K), valid (..., P, K) bool,
+    overflow (..., P) bool), peaks ordered row-major per part.
+
+    ``interpret`` defaults to True off-TPU (tests run the kernel through
+    the Pallas interpreter on CPU).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    batch_shape = heatmaps.shape[:-3]
+    h, w, parts = heatmaps.shape[-3:]
+    planes = jnp.moveaxis(heatmaps, -1, -3).reshape(-1, h, w)
+    planes = planes.astype(jnp.float32)
+
+    scores_b, lin_b, counts_b = _fused_peak_candidates(
+        planes, float(threshold), int(max_peaks), int(factor),
+        int(band_rows), bool(interpret),
+    )
+    m = planes.shape[0]
+    scores_flat = scores_b.reshape(m, -1)
+    lin_flat = lin_b.reshape(m, -1)
+
+    # Global merge: strongest K overall. Candidates arrive band-major and,
+    # within a band, extraction order (descending score, row-major ties),
+    # so lax.top_k's positional tie-break keeps row-major order among
+    # equal scores.
+    top_scores, idx = jax.lax.top_k(scores_flat, max_peaks)
+    valid = top_scores > -jnp.inf
+    lin = jnp.take_along_axis(lin_flat, idx, axis=1)
+
+    # Re-order the kept set row-major (invalid slots last), matching
+    # ops/pose_decode.py::find_peaks.
+    position = jnp.where(valid, lin, _BIG)
+    order = jnp.argsort(position, axis=1)
+    lin = jnp.take_along_axis(lin, order, axis=1)
+    top_scores = jnp.take_along_axis(top_scores, order, axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
+
+    up_w = w * factor
+    ys = lin // up_w
+    xs = lin % up_w
+    coords = jnp.stack([ys, xs], axis=-1).astype(jnp.int32)
+    coords = jnp.where(valid[..., None], coords, 0)
+    scores = jnp.where(valid, top_scores, 0.0)
+    overflow = counts_b.sum(axis=1) > max_peaks
+
+    out_shape = batch_shape + (parts,)
+    return (
+        coords.reshape(out_shape + (max_peaks, 2)),
+        scores.reshape(out_shape + (max_peaks,)),
+        valid.reshape(out_shape + (max_peaks,)),
+        overflow.reshape(out_shape),
+    )

@@ -221,50 +221,69 @@ def limb_scores_sampled(pafs_small, factor, coords, valid, thresh_midpoint):
 
 def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
                      thresh_midpoint=0.05, max_peaks=32,
-                     downsampling_ratio=8):
+                     downsampling_ratio=8, use_fused_peaks=None):
     """Build the jitted batched decode for a fixed preprocessed input shape.
 
     Maps (params, images (N, H, W, 3) uint8/float RGB) to two packed arrays
     — peaks (N, P, K, 5) = (y, x, score, valid, part_overflow) and limbs
     (N, L, K, K, 2) = (reg_score, accept) — splittable with
     :func:`unpack_pose_outputs`.
+
+    ``use_fused_peaks`` (default: config/auto) selects the fused Pallas
+    upsample+peak-scan kernel on TPU; the PAF field is always materialised
+    at x8 (dense phase-FIR beats point-sampling the Keys filter on TPU —
+    see the measurement note in terran_tpu/pipeline.py::_pose_fn).
     """
+    from terran_tpu.ops.fused_peaks import (
+        find_peaks_fused, fused_peaks_enabled,
+    )
     from terran_tpu.ops.upsample import upsample_bicubic
+
+    if use_fused_peaks is None:
+        use_fused_peaks = fused_peaks_enabled()
 
     @jax.jit
     def decode(params, images):
         x = images.astype(jnp.float32) / 255.0 - 0.5
         paf, heat = model.apply({"params": params}, x.astype(model.compute_dtype))
-        # Both fields are materialised at x8: dense phase-FIR upsampling
-        # beats point-sampling the Keys filter on TPU (see the measurement
-        # note in terran_tpu/pipeline.py::_pose_fn).
         paf = upsample_bicubic(paf.astype(jnp.float32), downsampling_ratio)
-        heat = upsample_bicubic(heat.astype(jnp.float32), downsampling_ratio)
 
-        def per_image(paf_i, heat_i):
-            coords, scores, valid, overflow = find_peaks(
-                heat_i[..., :NUM_PARTS], keypoint_threshold, max_peaks
+        if use_fused_peaks:
+            coords, scores, valid, overflow = find_peaks_fused(
+                heat.astype(jnp.float32)[..., :NUM_PARTS],
+                keypoint_threshold, max_peaks, factor=downsampling_ratio,
             )
-            reg, accept = limb_scores(paf_i, coords, valid, thresh_midpoint)
-            # Two packed arrays -> two d2h transfers (round trips through
-            # tunneled runtimes cost ~25 ms each): peaks (P, K, 5) holds
-            # (y, x, score, valid, part_overflow — broadcast along K);
-            # limbs (L, K, K, 2) holds (reg, accept).
-            peaks = jnp.concatenate(
-                [
-                    coords.astype(jnp.float32),
-                    scores[..., None],
-                    valid[..., None].astype(jnp.float32),
-                    jnp.broadcast_to(
-                        overflow[:, None, None], coords.shape[:2] + (1,)
-                    ).astype(jnp.float32),
-                ],
-                axis=-1,
+        else:
+            heat_up = upsample_bicubic(
+                heat.astype(jnp.float32), downsampling_ratio
             )
-            limbs = jnp.stack([reg, accept.astype(jnp.float32)], axis=-1)
-            return peaks, limbs
+            coords, scores, valid, overflow = jax.vmap(
+                lambda hm: find_peaks(
+                    hm[..., :NUM_PARTS], keypoint_threshold, max_peaks
+                )
+            )(heat_up)
 
-        return jax.vmap(per_image)(paf, heat)
+        reg, accept = jax.vmap(
+            lambda paf_i, c, v: limb_scores(paf_i, c, v, thresh_midpoint)
+        )(paf, coords, valid)
+
+        # Two packed arrays -> two d2h transfers (round trips through
+        # tunneled runtimes cost ~25 ms each): peaks (N, P, K, 5) holds
+        # (y, x, score, valid, part_overflow — broadcast along K);
+        # limbs (N, L, K, K, 2) holds (reg, accept).
+        peaks = jnp.concatenate(
+            [
+                coords.astype(jnp.float32),
+                scores[..., None],
+                valid[..., None].astype(jnp.float32),
+                jnp.broadcast_to(
+                    overflow[..., None, None], coords.shape[:3] + (1,)
+                ).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        limbs = jnp.stack([reg, accept.astype(jnp.float32)], axis=-1)
+        return peaks, limbs
 
     return decode
 

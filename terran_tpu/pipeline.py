@@ -39,6 +39,7 @@ from terran_tpu.models.retinaface import (
 )
 from terran_tpu.ops.nms import nms_fixed
 from terran_tpu.ops.resize import resize_bilinear, resized_shape
+from terran_tpu.ops.fused_peaks import find_peaks_fused, fused_peaks_enabled
 from terran_tpu.ops.pose_decode import NUM_PARTS, find_peaks, limb_scores
 from terran_tpu.ops.upsample import upsample_bicubic
 from terran_tpu.ops.warp import alignment_matrices_jax, warp_affine_batch
@@ -131,6 +132,7 @@ class PerceptionPipeline:
         self.keypoint_threshold = cfg.keypoint_threshold
         self.thresh_midpoint = cfg.paf_midpoint_threshold
         self.human_threshold = cfg.human_score_threshold
+        self.use_fused_peaks = fused_peaks_enabled(cfg.fused_peaks)
 
     # ------------------------------------------------------------------
     # Jitted programs
@@ -263,6 +265,8 @@ class PerceptionPipeline:
             full_h, full_w, self.pose_short_side
         )
 
+        use_fused = self.use_fused_peaks and self.mesh is None
+
         def decode(pose_params, frames_full):
             frames_pose = jnp.round(
                 resize_bilinear(frames_full, pose_h, pose_w)
@@ -272,43 +276,57 @@ class PerceptionPipeline:
                 {"params": pose_params},
                 x.astype(self.pose_model.compute_dtype),
             )
-            # Both fields are materialised at x8: the dense phase-FIR
+            # The PAF field is materialised at x8: the dense phase-FIR
             # upsample vectorises on the VPU and measures ~3x faster
             # end-to-end than sampling the Keys filter at the segment
             # points (ops/pose_decode.py::limb_scores_sampled), whose 16
             # gathers/point dominate on TPU (measured on v5e, batch 8
             # @1080p: 82.6 -> 25.3 device-only fps).
             paf = upsample_bicubic(paf.astype(jnp.float32), 8)
-            heat = upsample_bicubic(heat.astype(jnp.float32), 8)
 
-            def per_image(paf_i, heat_i):
-                coords, scores, valid, overflow = find_peaks(
-                    heat_i[..., :NUM_PARTS], self.keypoint_threshold,
-                    self.max_peaks,
+            if use_fused:
+                # Heatmaps never materialise at x8: the fused Pallas
+                # kernel (ops/fused_peaks.py) scans the phase images in
+                # VMEM and emits only the peak tables. Besides the HBM
+                # traffic, this removes the XLA path's top_k over ~4M
+                # elements x 18 parts per image, whose padding can expand
+                # to several GB of HBM.
+                coords, scores, valid, overflow = find_peaks_fused(
+                    heat.astype(jnp.float32)[..., :NUM_PARTS],
+                    self.keypoint_threshold, self.max_peaks,
                 )
-                reg, accept = limb_scores(
-                    paf_i, coords, valid, self.thresh_midpoint
-                )
-                # Pack: peaks (P, K, 5) = y, x, score, valid, part overflow
-                # (broadcast along K); limbs (L, K, K, 2) = reg, accept.
-                # Two transfers total.
-                peaks = jnp.concatenate(
-                    [
-                        coords.astype(jnp.float32),
-                        scores[..., None],
-                        valid[..., None].astype(jnp.float32),
-                        jnp.broadcast_to(
-                            overflow[:, None, None], coords.shape[:2] + (1,)
-                        ).astype(jnp.float32),
-                    ],
-                    axis=-1,
-                )
-                limbs = jnp.stack(
-                    [reg, accept.astype(jnp.float32)], axis=-1
-                )
-                return peaks, limbs
+            else:
+                heat_up = upsample_bicubic(heat.astype(jnp.float32), 8)
+                coords, scores, valid, overflow = jax.vmap(
+                    lambda hm: find_peaks(
+                        hm[..., :NUM_PARTS], self.keypoint_threshold,
+                        self.max_peaks,
+                    )
+                )(heat_up)
 
-            return jax.vmap(per_image)(paf, heat)
+            reg, accept = jax.vmap(
+                lambda paf_i, c, v: limb_scores(
+                    paf_i, c, v, self.thresh_midpoint
+                )
+            )(paf, coords, valid)
+
+            # Pack: peaks (B, P, K, 5) = y, x, score, valid, part overflow
+            # (broadcast along K); limbs (B, L, K, K, 2) = reg, accept.
+            # Two transfers total.
+            peaks = jnp.concatenate(
+                [
+                    coords.astype(jnp.float32),
+                    scores[..., None],
+                    valid[..., None].astype(jnp.float32),
+                    jnp.broadcast_to(
+                        overflow[..., None, None],
+                        coords.shape[:3] + (1,),
+                    ).astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+            limbs = jnp.stack([reg, accept.astype(jnp.float32)], axis=-1)
+            return peaks, limbs
 
         decode = jax.jit(decode, **self._sharding_kwargs(
             num_batch_args=1, num_param_args=1,

@@ -1,0 +1,107 @@
+"""Fused Pallas upsample+peak-scan kernel vs the XLA reference path.
+
+Runs through the Pallas interpreter on CPU. Ground truth is
+find_peaks(upsample_bicubic(...)) — the oracle-tested XLA formulation.
+Scores may differ by float-contraction ulps between the two lowerings, so
+scores compare with a tight tolerance while coords/valid/overflow (and
+therefore the selected peak SET) compare exactly.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from terran_tpu.ops.fused_peaks import find_peaks_fused, fused_peaks_enabled
+from terran_tpu.ops.pose_decode import NUM_PARTS, find_peaks
+from terran_tpu.ops.upsample import upsample_bicubic
+
+
+def reference(heat, threshold, max_peaks):
+    ups = upsample_bicubic(jnp.asarray(heat)[None], 8)[0]
+    return tuple(map(np.asarray, find_peaks(ups, threshold, max_peaks)))
+
+
+def fused(heat, threshold, max_peaks, **kw):
+    return tuple(map(np.asarray, find_peaks_fused(
+        jnp.asarray(heat), threshold, max_peaks, interpret=True, **kw
+    )))
+
+
+def assert_matches(heat, threshold=0.1, max_peaks=16, **kw):
+    c0, s0, v0, o0 = reference(heat, threshold, max_peaks)
+    c1, s1, v1, o1 = fused(heat, threshold, max_peaks, **kw)
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_array_equal(o0, o1)
+    for p in range(heat.shape[-1]):
+        n = int(v0[p].sum())
+        np.testing.assert_array_equal(c0[p, :n], c1[p, :n])
+        np.testing.assert_allclose(s0[p, :n], s1[p, :n], rtol=1e-5)
+
+
+def test_matches_reference_random(rng):
+    heat = rng.normal(scale=0.2, size=(16, 26, 4)).astype(np.float32)
+    assert_matches(heat)
+
+
+def test_matches_reference_sparse_peaks(rng):
+    # Non-saturated regime: a few isolated gaussian bumps. Centres sit off
+    # the integer grid — symmetric bumps create exact floating-point ties
+    # at mirrored neighbours, where the two lowerings may legitimately
+    # disagree by one ulp.
+    heat = np.zeros((24, 32, 3), np.float32)
+    yy, xx = np.mgrid[0:24, 0:32]
+    for (cy, cx, a, p) in [(5.3, 7.6, 0.9, 0), (15.8, 20.1, 0.7, 0),
+                           (10.4, 10.7, 0.8, 1), (19.6, 27.3, 0.6, 2)]:
+        heat[..., p] += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 4.0)
+    c1, s1, v1, o1 = fused(heat, 0.1, 8)
+    assert not o1.any()  # nothing saturated
+    assert_matches(heat, max_peaks=8)
+
+
+def test_band_remainder_rows(rng):
+    # h=20 with band_rows=16 -> the second band covers only 4 real rows.
+    heat = rng.normal(scale=0.2, size=(20, 26, 2)).astype(np.float32)
+    assert_matches(heat, band_rows=16)
+
+
+def test_plateau_row_major_order_and_overflow(rng):
+    # A constant plateau is one giant knife-edge: every upsampled interior
+    # pixel ties its neighbours to within an ulp, so the exact kept SET is
+    # lowering-dependent (FMA contraction differs between the XLA and
+    # Mosaic pipelines). The contracts that must hold regardless: full
+    # saturation is flagged, every slot is valid, scores are at plateau
+    # height, and the kept set is emitted in row-major order.
+    heat = np.full((12, 14, 2), 0.9, np.float32)
+    c1, s1, v1, o1 = fused(heat, 0.1, 4)
+    assert v1.all() and o1.all()
+    np.testing.assert_allclose(s1, 0.9, rtol=1e-5)
+    lin = c1[..., 0].astype(np.int64) * 14 * 8 + c1[..., 1]
+    assert (np.diff(lin, axis=-1) > 0).all()
+
+
+def test_batch_dims(rng):
+    heat = rng.normal(scale=0.2, size=(2, 16, 26, 3)).astype(np.float32)
+    c, s, v, o = map(np.asarray, find_peaks_fused(
+        jnp.asarray(heat), 0.1, 8, interpret=True
+    ))
+    assert c.shape == (2, 3, 8, 2) and o.shape == (2, 3)
+    for b in range(2):
+        c0, s0, v0, o0 = reference(heat[b], 0.1, 8)
+        np.testing.assert_array_equal(v0, v[b])
+        np.testing.assert_array_equal(o0, o[b])
+        for p in range(3):
+            n = int(v0[p].sum())
+            np.testing.assert_array_equal(c0[p, :n], c[b, p, :n])
+
+
+def test_band_rows_alignment_required(rng):
+    heat = rng.normal(size=(16, 26, 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        fused(heat, 0.1, 8, band_rows=12)
+
+
+def test_enabled_resolution():
+    assert fused_peaks_enabled("on") is True
+    assert fused_peaks_enabled("off") is False
+    # 'auto' is False on the CPU test backend.
+    assert fused_peaks_enabled("auto") is False

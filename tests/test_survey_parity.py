@@ -45,6 +45,8 @@ COMPONENTS = [
                                     "MAP_IDX"]),
     ("terran_tpu.ops.tiling", ["TiledDetector", "tile_layout",
                                "extract_tiles"]),
+    ("terran_tpu.ops.fused_peaks", ["find_peaks_fused",
+                                    "fused_peaks_enabled"]),
     ("terran_tpu.face.detection", ["Detection", "RetinaFaceDetector",
                                    "face_detection"]),
     ("terran_tpu.face.recognition", ["Recognition", "ArcFaceRecognizer",

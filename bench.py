@@ -144,41 +144,54 @@ def measure_link(frames):
 
 
 def measure_device_only(pipeline, frames, iters):
-    """Steady-state fps of the three programs with frames HBM-resident,
-    plus achieved FLOP/s from XLA's own cost model."""
+    """Device time of the three programs with frames HBM-resident, plus
+    achieved FLOP/s from XLA's own cost model.
+
+    Timing runs ``iters`` iterations INSIDE one jitted ``lax.scan`` per
+    program (benchmarks/device_time.py): through the tunneled runtime here,
+    per-dispatch loops measure the RPC path, and ``block_until_ready``
+    returns before execution finishes — only a value fetch (or an in-program
+    loop) reflects device wall time. Returns (fps, achieved_tflops,
+    per-program ms dict).
+    """
     import jax
+
+    sys.path.insert(0, str(Path(__file__).parent / "benchmarks"))
+    from device_time import scan_time
 
     full_h, full_w = frames.shape[1:3]
     step = pipeline._perception_fn(full_h, full_w)
-    embed = pipeline._embed_fn() if pipeline.with_embeddings else None
-    posefn = (
-        pipeline._pose_fn(full_h, full_w) if pipeline.with_pose else None
-    )
-
     frames_dev = jax.block_until_ready(pipeline.put_frames(frames))
 
-    def run_once():
-        out = step(pipeline.det_params, pipeline.rec_params, frames_dev)
-        results = [out["det_packed"]]
-        if embed is not None:
-            results.append(embed(
-                pipeline.rec_params, out["crops"], out["emb_mask_dev"]
-            ))
-        if posefn is not None:
-            results.extend(posefn(pipeline.pose_params, frames_dev))
-        return results
+    stage_ms = {}
+    stage_ms["detect"], _ = scan_time(
+        lambda dp, rp, f: step(dp, rp, f),
+        (pipeline.det_params, pipeline.rec_params, frames_dev),
+        perturb_index=2, iters=iters,
+    )
+    out = step(pipeline.det_params, pipeline.rec_params, frames_dev)
+    if pipeline.with_embeddings:
+        embed = pipeline._embed_fn()
+        stage_ms["embed"], _ = scan_time(
+            lambda rp, c, m: embed(rp, c, m),
+            (pipeline.rec_params, out["crops"], out["emb_mask_dev"]),
+            perturb_index=1, iters=iters,
+        )
+    if pipeline.with_pose:
+        posefn = pipeline._pose_fn(full_h, full_w)
+        stage_ms["pose"], _ = scan_time(
+            lambda pp, f: posefn(pp, f),
+            (pipeline.pose_params, frames_dev), perturb_index=1,
+            iters=iters,
+        )
 
-    jax.block_until_ready(run_once())  # warm (already compiled)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        results = run_once()
-    jax.block_until_ready(results)
-    elapsed = time.perf_counter() - t0
-    fps = frames.shape[0] * iters / elapsed
+    total_s = sum(stage_ms.values()) / 1000.0
+    fps = frames.shape[0] / total_s
 
     flops = measure_flops_subprocess(frames.shape)
-    achieved_tflops = flops * iters / elapsed / 1e12 if flops else None
-    return fps, achieved_tflops
+    achieved_tflops = flops / total_s / 1e12 if flops else None
+    return fps, achieved_tflops, {k: round(v, 2) for k, v in
+                                  stage_ms.items()}
 
 
 def measure_flops_subprocess(frames_shape):
@@ -290,9 +303,12 @@ def main():
 
     # End-to-end sweeps: threaded uploads + depth-deep dispatch overlap
     # h2d of batch i+2 with batch i+1's compute and batch i's downloads.
+    # Five sweeps: the relay's sustained bandwidth swings ~2x within a
+    # session, and the median over five is materially stabler than over
+    # three (sweeps are reported individually either way).
     timer.reset()
     sweeps = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         for _out in pipeline.process_stream(batches, depth=depth):
             pass
@@ -301,7 +317,7 @@ def main():
         )
     fps = statistics.median(sweeps)
 
-    device_only_fps, achieved_tflops = measure_device_only(
+    device_only_fps, achieved_tflops, device_stage_ms = measure_device_only(
         pipeline, batches[0], device_iters
     )
     h2d_gbps, roundtrip_ms = measure_link(batches[0])
@@ -332,6 +348,13 @@ def main():
         ),
         "h2d_gbps": round(h2d_gbps, 4),
         "roundtrip_ms": round(roundtrip_ms, 2),
+        # What the measured link alone permits at this frame size: the
+        # end-to-end value is bounded by min(link_ceiling, device rate) —
+        # records which regime this run was in.
+        "link_ceiling_fps": round(
+            h2d_gbps * 1e9 / (height * width * 3), 2
+        ),
+        "device_stage_ms": device_stage_ms,
         "stages": {
             name: info["mean_ms"]
             for name, info in timer.summary().items()

@@ -1,0 +1,133 @@
+"""Relay-proof device timing: N iterations inside ONE jitted program.
+
+Through a tunneled/relayed TPU runtime, per-dispatch timing loops measure
+the RPC path, not the device: dispatch latency swings 1-35 ms between
+sessions, and `block_until_ready` on this relay returns before execution
+finishes (only fetching result BYTES forces completion — measured here by
+comparing against the chip's 369 TFLOP/s peak: a dispatch-loop "0.8 ms"
+embed implies 1800+ TFLOP/s, which is impossible).
+
+`scan_time(fn, args, iters)` wraps ``fn`` in a `lax.scan` whose carry
+perturbs one array input each step (so XLA cannot hoist the body or CSE the
+iterations), dispatches ONCE, fetches one scalar, and divides. The result
+is device wall-time per iteration with a single RPC round trip amortised
+over all iterations.
+
+Usage: `python benchmarks/device_time.py` prints the per-program device
+times of the three pipeline programs at 1080p batch 8 as one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def scan_time(fn, args, *, perturb_index=0, iters=32, warm=True):
+    """Median-free single-shot device timing of ``fn(*args)``.
+
+    fn must be jit-compatible; args[perturb_index] must be an array whose
+    first element can be bumped by an iteration counter (keeps every scan
+    step distinct). Returns (ms_per_iter, result_of_last_iter_scalar).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    args = list(args)
+    base = jnp.asarray(args[perturb_index])
+
+    @jax.jit
+    def many(*a):
+        x0 = jnp.asarray(a[perturb_index])
+
+        def body(carry, i):
+            x = x0 + i.astype(x0.dtype)  # distinct input per step
+            inner = list(a)
+            inner[perturb_index] = x
+            out = fn(*inner)
+            leaves = jax.tree_util.tree_leaves(out)
+            acc = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+            return carry + acc, ()
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32),
+            jnp.arange(iters, dtype=jnp.int32),
+        )
+        return total
+
+    if warm:
+        float(np.asarray(many(*args)))  # compile + one full execution
+    t0 = time.perf_counter()
+    val = float(np.asarray(many(*args)))
+    elapsed = time.perf_counter() - t0
+    return elapsed / iters * 1000.0, val
+
+
+def main():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tests")
+    )
+    import jax
+
+    from __graft_entry__ import _random_params
+    from terran_tpu.pipeline import PerceptionPipeline
+
+    batch, height, width = 8, 1080, 1920
+    iters = 16
+
+    pipeline = PerceptionPipeline(
+        det_params=_random_params("retinaface"),
+        rec_params=_random_params("arcface"),
+        pose_params=_random_params("openpose"),
+        max_faces=8, top_k=64, max_peaks=16,
+    )
+    frames = np.random.default_rng(0).integers(
+        0, 255, (batch, height, width, 3), dtype=np.uint8
+    )
+    fd = jax.block_until_ready(pipeline.put_frames(frames))
+    step = pipeline._perception_fn(height, width)
+    out = step(pipeline.det_params, pipeline.rec_params, fd)
+    crops = out["crops"]
+    mask = out["emb_mask_dev"]
+    embed = pipeline._embed_fn()
+    posefn = pipeline._pose_fn(height, width)
+
+    # Perturb the float crop input for embed; frames are uint8 (bump wraps,
+    # still distinct), fine for timing purposes.
+    import sys as _sys
+
+    detect_ms, _ = scan_time(
+        lambda p, r, f: step(p, r, f), (pipeline.det_params,
+                                        pipeline.rec_params, fd),
+        perturb_index=2, iters=iters,
+    )
+    print(f"# detect {detect_ms:.2f} ms", file=_sys.stderr, flush=True)
+    embed_ms, _ = scan_time(
+        lambda p, c, m: embed(p, c, m),
+        (pipeline.rec_params, crops, mask), perturb_index=1, iters=iters,
+    )
+    print(f"# embed {embed_ms:.2f} ms", file=_sys.stderr, flush=True)
+    pose_ms, _ = scan_time(
+        lambda p, f: posefn(p, f), (pipeline.pose_params, fd),
+        perturb_index=1, iters=iters,
+    )
+    print(f"# pose {pose_ms:.2f} ms", file=_sys.stderr, flush=True)
+
+    total_ms = detect_ms + embed_ms + pose_ms
+    print(json.dumps({
+        "metric": "device-only ms/batch (scan-timed, batch 8 @1080p)",
+        "detect_ms": round(detect_ms, 2),
+        "embed_ms": round(embed_ms, 2),
+        "pose_ms": round(pose_ms, 2),
+        "total_ms": round(total_ms, 2),
+        "device_only_fps": round(batch / (total_ms / 1000.0), 1),
+        "iters": iters,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,9 +2,10 @@
 
 The OpenPose decode needs the local maxima of the x8 bicubic upsample of
 each part heatmap (reference wrapper.py:212-262). The XLA path
-materialises the upsampled field — (1472, 2616, 18) f32 per 1080p image —
-and runs top_k over all ~70M elements per batch; both are pure HBM
-traffic. This kernel computes the upsample in PHASE SPACE: for a band of
+materialises the upsampled field ((184, 328, 18) f32 per image at the
+default 184 short side) and runs top_k over every element; scan-timed on
+v5e at batch 8 that path costs 15.2 ms vs 5.9 ms for this kernel (2.6x).
+This kernel computes the upsample in PHASE SPACE: for a band of
 source rows it builds the 64 phase images Q[ry, rx] (each the size of the
 SOURCE band) in VMEM, applies the 4-neighbour/threshold peak rule between
 phase images (a neighbour in the upsampled grid is the adjacent phase, or
@@ -266,7 +267,7 @@ def fused_peaks_enabled(setting=None):
 
 
 def find_peaks_fused(heatmaps, threshold, max_peaks, factor=8,
-                     band_rows=16, interpret=None):
+                     band_rows=None, interpret=None):
     """Drop-in fused equivalent of
     ``find_peaks(upsample_bicubic(heatmaps, factor), threshold, max_peaks)``.
 
@@ -276,13 +277,20 @@ def find_peaks_fused(heatmaps, threshold, max_peaks, factor=8,
     overflow (..., P) bool), peaks ordered row-major per part.
 
     ``interpret`` defaults to True off-TPU (tests run the kernel through
-    the Pallas interpreter on CPU).
+    the Pallas interpreter on CPU). ``band_rows`` defaults to the smallest
+    8-multiple covering the source height (capped at 32): the per-program
+    VMEM footprint stays small at OpenPose field sizes, and one band per
+    plane halves the program count versus fixed 16-row bands (the grid is
+    (planes, bands) tiny programs, so launch overhead is material —
+    measured on v5e at (23, 41): 9.0 -> 5.9 ms/batch-of-8, scan-timed).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
     batch_shape = heatmaps.shape[:-3]
     h, w, parts = heatmaps.shape[-3:]
+    if band_rows is None:
+        band_rows = min(32, -(-h // 8) * 8)
     planes = jnp.moveaxis(heatmaps, -1, -3).reshape(-1, h, w)
     planes = planes.astype(jnp.float32)
 

@@ -5,7 +5,9 @@ import numpy as np
 import pytest
 
 from terran_tpu.face.detection import RetinaFaceDetector
-from terran_tpu.ops.tiling import TiledDetector, extract_tiles, tile_layout
+from terran_tpu.ops.tiling import (
+    TiledDetector, extract_tiles, extract_tiles_device, tile_layout,
+)
 from terran_tpu.utils.convert import convert_retinaface
 from torch_oracle import random_retinaface_state_dict
 
@@ -46,6 +48,16 @@ def test_extract_tiles_contents(rng):
         np.testing.assert_array_equal(t, image[y: y + 256, x: x + 256])
 
 
+def test_extract_tiles_device_matches_host(rng):
+    # Regular case and the small-image zero-padded case.
+    for shape in [(300, 500, 3), (100, 90, 3)]:
+        image = rng.integers(0, 255, shape, dtype=np.uint8)
+        origins = tile_layout(shape[0], shape[1], tile=256, overlap=64)
+        host = extract_tiles(image, origins, tile=256)
+        dev = np.asarray(extract_tiles_device(image, origins, tile=256))
+        np.testing.assert_array_equal(host, dev)
+
+
 @pytest.fixture(scope="module")
 def detector():
     params = convert_retinaface(
@@ -66,6 +78,18 @@ def test_single_tile_equals_direct(detector, rng):
     for g, d in zip(got, direct):
         np.testing.assert_allclose(g["bbox"], d["bbox"], atol=1e-3)
         np.testing.assert_allclose(g["score"], d["score"], rtol=1e-6)
+
+
+def test_device_and_host_tiles_agree(detector, rng):
+    image = rng.integers(0, 255, (256, 384, 3), dtype=np.uint8)
+    dev = TiledDetector(detector, tile=128, overlap=32, top_k=128)
+    host = TiledDetector(detector, tile=128, overlap=32, top_k=128,
+                         device_tiles=False)
+    fd, fh = dev(image), host(image)
+    assert len(fd) == len(fh) and fd
+    for a, b in zip(fd, fh):
+        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-3)
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-6)
 
 
 def test_multi_tile_global_coordinates(detector, rng):

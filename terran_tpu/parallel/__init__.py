@@ -6,7 +6,9 @@ from terran_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     batch_sharding,
     create_mesh,
+    global_batch_from_local,
     initialize_multi_host,
+    local_results,
     pad_batch_to_multiple,
     replicated_sharding,
     shard_batch,

@@ -67,22 +67,68 @@ def shard_batch(batch, mesh):
 
 
 def initialize_multi_host(coordinator_address=None, num_processes=None,
-                          process_id=None):
+                          process_id=None, initialization_timeout=None):
     """Initialise JAX's multi-host runtime (DCN side of the scale-out
     story). Each host then feeds its local shard from its own readers;
     collectives within the jitted programs ride ICI inside the slice.
 
-    No-ops when already initialised or when running single-process (the
-    common case). Arguments default to the JAX_* / cloud-TPU environment
-    discovery that ``jax.distributed.initialize`` performs itself.
+    With explicit arguments this is strict: a failure to reach the
+    coordinator propagates, because silently proceeding single-process
+    would shard a job the operator asked to distribute. With all-None
+    arguments it is best-effort: it no-ops when already initialised or
+    when the environment carries no coordinator configuration (the
+    common single-process case).
     """
+    explicit = coordinator_address is not None
+    kwargs = {}
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
     except (RuntimeError, ValueError):
+        if explicit:
+            raise
         # Already initialised, or single-process environment without
         # coordinator configuration — both fine.
-        pass
+
+
+def global_batch_from_local(local_batch, mesh, axis_name=DATA_AXIS):
+    """Assemble a global device array from this process's local shard.
+
+    Multi-host input path: each host's readers decode its own slice of the
+    frame stream into ``local_batch`` (shape ``(global_n / num_processes,
+    ...)``); the returned global array has leading axis ``global_n`` sharded
+    over the full mesh without any cross-host host-side gather — data moves
+    host→local-HBM only, and the jitted programs' collectives do the rest
+    over ICI/DCN.
+
+    Single-process meshes degenerate to :func:`shard_batch`.
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))
+
+
+def local_results(global_array):
+    """This process's slice of a computation result, as one host array.
+
+    The inverse of :func:`global_batch_from_local` for outputs: concatenates
+    the addressable shards in index order so each host post-processes (and
+    e.g. writes video for) exactly the frames it fed in. Fully-replicated
+    results come back whole on every host.
+    """
+    shards = sorted(global_array.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    parts = [np.asarray(s.data) for s in shards]
+    seen = set()
+    unique = []
+    for shard, part in zip(shards, parts):
+        key = tuple((sl.start, sl.stop) for sl in shard.index)
+        if key not in seen:   # replicated arrays repeat the same slice
+            seen.add(key)
+            unique.append(part)
+    return np.concatenate(unique, axis=0)

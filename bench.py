@@ -169,14 +169,34 @@ def measure_device_only(pipeline, frames, iters):
         (pipeline.det_params, pipeline.rec_params, frames_dev),
         perturb_index=2, iters=iters,
     )
-    out = step(pipeline.det_params, pipeline.rec_params, frames_dev)
     if pipeline.with_embeddings:
-        embed = pipeline._embed_fn()
-        stage_ms["embed"], _ = scan_time(
-            lambda rp, c, m: embed(rp, c, m),
-            (pipeline.rec_params, out["crops"], out["emb_mask_dev"]),
-            perturb_index=1, iters=iters,
-        )
+        if pipeline.embed_dispatch == "adaptive":
+            # Worst case: full-capacity bucket (every face slot occupied);
+            # the adaptive path's whole point is that real scenes usually
+            # run a much smaller program.
+            import jax.numpy as jnp
+            from device_time import synthetic_embed_packed
+
+            full_h, full_w = frames.shape[1:3]
+            packed = jnp.asarray(synthetic_embed_packed(
+                frames.shape[0], pipeline.max_faces, full_h, full_w
+            ))
+            we = pipeline._warp_embed_fn(
+                pipeline.max_faces, frames_dev.shape
+            )
+            stage_ms["embed"], _ = scan_time(
+                lambda rp, f, pk: we(rp, f, pk),
+                (pipeline.rec_params, frames_dev, packed),
+                perturb_index=1, iters=iters,
+            )
+        else:
+            out = step(pipeline.det_params, pipeline.rec_params, frames_dev)
+            embed = pipeline._embed_fn()
+            stage_ms["embed"], _ = scan_time(
+                lambda rp, c, m: embed(rp, c, m),
+                (pipeline.rec_params, out["crops"], out["emb_mask_dev"]),
+                perturb_index=1, iters=iters,
+            )
     if pipeline.with_pose:
         posefn = pipeline._pose_fn(full_h, full_w)
         stage_ms["pose"], _ = scan_time(
@@ -244,13 +264,21 @@ def flops_main(batch, height, width):
         pipeline.det_params, pipeline.rec_params, frames
     ))
     if pipeline.with_embeddings:
-        crops = np.zeros(
-            (batch, pipeline.max_faces, 112, 112, 3), np.float32
-        )
-        mask = np.zeros((batch, pipeline.max_faces), bool)
-        flops += analyzed(pipeline._embed_fn().lower(
-            pipeline.rec_params, crops, mask
-        ))
+        if pipeline.embed_dispatch == "adaptive":
+            packed = np.zeros((batch, pipeline.max_faces, 7), np.float32)
+            flops += analyzed(
+                pipeline._warp_embed_fn(
+                    pipeline.max_faces, frames.shape
+                ).lower(pipeline.rec_params, frames, packed)
+            )
+        else:
+            crops = np.zeros(
+                (batch, pipeline.max_faces, 112, 112, 3), np.float32
+            )
+            mask = np.zeros((batch, pipeline.max_faces), bool)
+            flops += analyzed(pipeline._embed_fn().lower(
+                pipeline.rec_params, crops, mask
+            ))
     if pipeline.with_pose:
         flops += analyzed(pipeline._pose_fn(height, width).lower(
             pipeline.pose_params, frames

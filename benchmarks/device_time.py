@@ -63,6 +63,33 @@ def scan_time(fn, args, *, perturb_index=0, iters=32, warm=True):
     return elapsed / iters * 1000.0, val
 
 
+def synthetic_embed_packed(batch, k_slots, height, width, face_px=64,
+                           seed=0):
+    """Full-occupancy adaptive-embed plan: (batch, k_slots, 7) f32 of
+    plausible in-frame faces (6 alignment-matrix entries + validity), for
+    worst-case warp+embed timing."""
+    from terran_tpu.ops.warp import ARCFACE_TEMPLATE, alignment_matrix
+
+    rng = np.random.default_rng(seed)
+    packed = np.zeros((batch, k_slots, 7), np.float32)
+    for i in range(batch):
+        for j in range(k_slots):
+            scale = face_px / 112.0
+            theta = rng.uniform(-0.3, 0.3)
+            rot = np.array(
+                [[np.cos(theta), -np.sin(theta)],
+                 [np.sin(theta), np.cos(theta)]], np.float32
+            ) * scale
+            t = np.array([
+                rng.uniform(0, max(1.0, width - face_px)),
+                rng.uniform(0, max(1.0, height - face_px)),
+            ])
+            lmk = (ARCFACE_TEMPLATE - 56.0) @ rot.T + t + face_px / 2
+            packed[i, j, :6] = alignment_matrix(lmk).reshape(-1)
+            packed[i, j, 6] = 1.0
+    return packed
+
+
 def main():
     import sys
     from pathlib import Path
@@ -90,14 +117,8 @@ def main():
     )
     fd = jax.block_until_ready(pipeline.put_frames(frames))
     step = pipeline._perception_fn(height, width)
-    out = step(pipeline.det_params, pipeline.rec_params, fd)
-    crops = out["crops"]
-    mask = out["emb_mask_dev"]
-    embed = pipeline._embed_fn()
     posefn = pipeline._pose_fn(height, width)
 
-    # Perturb the float crop input for embed; frames are uint8 (bump wraps,
-    # still distinct), fine for timing purposes.
     import sys as _sys
 
     detect_ms, _ = scan_time(
@@ -106,10 +127,30 @@ def main():
         perturb_index=2, iters=iters,
     )
     print(f"# detect {detect_ms:.2f} ms", file=_sys.stderr, flush=True)
-    embed_ms, _ = scan_time(
-        lambda p, c, m: embed(p, c, m),
-        (pipeline.rec_params, crops, mask), perturb_index=1, iters=iters,
-    )
+    if pipeline.embed_dispatch == "adaptive":
+        # Worst case: every slot occupied -> the full-capacity bucket.
+        # Perturbing the (uint8, wrapping) frames keeps scan steps
+        # distinct without disturbing the plan's gather geometry.
+        import jax.numpy as jnp
+
+        packed = jnp.asarray(synthetic_embed_packed(
+            batch, pipeline.max_faces, height, width
+        ))
+        we = pipeline._warp_embed_fn(pipeline.max_faces, fd.shape)
+        embed_ms, _ = scan_time(
+            lambda p, f, pk: we(p, f, pk),
+            (pipeline.rec_params, fd, packed), perturb_index=1,
+            iters=iters,
+        )
+    else:
+        out = step(pipeline.det_params, pipeline.rec_params, fd)
+        embed = pipeline._embed_fn()
+        # Perturb the float crop input for embed.
+        embed_ms, _ = scan_time(
+            lambda p, c, m: embed(p, c, m),
+            (pipeline.rec_params, out["crops"], out["emb_mask_dev"]),
+            perturb_index=1, iters=iters,
+        )
     print(f"# embed {embed_ms:.2f} ms", file=_sys.stderr, flush=True)
     pose_ms, _ = scan_time(
         lambda p, f: posefn(p, f), (pipeline.pose_params, fd),

@@ -42,6 +42,18 @@ class Config:
     # process_stream: depth 2 keeps batch i+2's h2d crossing the link while
     # batch i+1 computes and batch i's results download.
     pipeline_depth: int = 2
+    # Embed dispatch: 'adaptive' sizes the warp+embed program to the number
+    # of faces actually detected (buckets below), 'fused' warps a fixed
+    # (batch, max_faces) grid inside the detection program with no host
+    # round trip, 'auto' picks adaptive on a single device and fused under
+    # a mesh (adaptive needs a host-side count, which a sharded program
+    # cannot feed per-shard).
+    embed_dispatch: str = "auto"
+    # Comma-separated PER-FRAME face-slot sizes for the adaptive
+    # warp+embed program (chosen per batch to cover its busiest frame);
+    # the full max_faces capacity is always available as the fallback
+    # bucket, so crowded batches lose nothing.
+    pipeline_embed_buckets: str = "2,4,8"
 
     # I/O buffering.
     reader_buffer_batches: int = 1

@@ -89,16 +89,25 @@ def warp_affine(image, matrix, out_h=112, out_w=112):
     PIL convention: sample source at ``M @ (dst_idx + 0.5) - 0.5``; samples
     outside the source rectangle contribute the fill value 0.
 
-    TPU cost note (measured on v5e, scan-timed, 64 crops from a 1080p
-    batch): the 2x2 taps are fetched as ONE (2, 2, C) patch gather from the
-    edge-padded uint8 frame instead of four independent float32 gathers —
-    4x fewer gather descriptors and 4x fewer random-access bytes, 50.3 ->
-    24.4 ms/batch with identical results. Tap values and edge semantics are
-    unchanged: padding by one edge pixel and clamping the PATCH ORIGIN to
-    [0, size] reproduces per-tap clamping exactly (origin -1 -> taps
-    (edge, col0) = (col0, col0); origin size-1 -> taps (col_{size-1},
-    edge) = both last column), and the conversion to float happens after
-    the gather, which cannot change the sampled values.
+    TPU cost notes (measured on v5e, scan-timed, 1080p batches):
+
+    - The 2x2 taps are fetched as ONE (2, 2, C) patch gather instead of
+      four independent float32 gathers — 4x fewer gather descriptors and
+      4x fewer random-access bytes (50.3 -> 24.4 ms for 64 crops,
+      identical results).
+    - The source is gathered UNPADDED, with PIL's edge-replication of
+      border taps reproduced by arithmetic selects on the fetched patch:
+      an edge-padded copy of the frames (the earlier formulation) costs an
+      operand-sized materialisation at ~4 GB/s — a fixed ~12 ms for an
+      8-frame 1080p batch, dominating the warp at low face counts. Every
+      INSIDE output pixel has its patch origin in [-1, size-1], so
+      clamping the origin to [0, size-2] fetches the right two rows/cols
+      except exactly at the borders, where the select duplicates the edge
+      row/col — the same values the padded gather produced. Outside
+      pixels take whatever taps the clamp yields and are overwritten by
+      the fill.
+
+    Requires a source of at least 2x2 pixels.
     """
     h, w = image.shape[0], image.shape[1]
     ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5
@@ -123,26 +132,40 @@ def warp_affine(image, matrix, out_h=112, out_w=112):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # One-pixel edge padding; patch origins in padded coordinates, clamped
-    # so the (2, 2) window stays in range (and reproduces tap clamping —
-    # see the docstring). vmapping over matrices hoists the pad out.
-    padded = jnp.pad(image, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    oy = jnp.clip(y0i + 1, 0, h)
-    ox = jnp.clip(x0i + 1, 0, w)
+    # Patch origins clamped so the (2, 2) window stays inside the raw
+    # source; border-tap replication is restored by the selects below.
+    oy = jnp.clip(y0i, 0, h - 2)
+    ox = jnp.clip(x0i, 0, w - 2)
     starts = jnp.stack([oy.reshape(-1), ox.reshape(-1)], axis=-1)
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(),
         start_index_map=(0, 1),
     )
     patches = jax.lax.gather(
-        padded, starts, dn, slice_sizes=(2, 2, image.shape[2]),
+        image, starts, dn, slice_sizes=(2, 2, image.shape[2]),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
     ).astype(jnp.float32).reshape(out_h, out_w, 2, 2, image.shape[2])
 
-    v00 = patches[:, :, 0, 0]
-    v01 = patches[:, :, 0, 1]
-    v10 = patches[:, :, 1, 0]
-    v11 = patches[:, :, 1, 1]
+    p00 = patches[:, :, 0, 0]
+    p01 = patches[:, :, 0, 1]
+    p10 = patches[:, :, 1, 0]
+    p11 = patches[:, :, 1, 1]
+
+    # Edge replication (PIL tap clamping): at y0 == -1 both tap rows are
+    # source row 0 (the fetched row 0); at y0 == h-1 both are row h-1 (the
+    # fetched row 1). Same for columns.
+    ly = (y0i == -1)[..., None]
+    hy = (y0i == h - 1)[..., None]
+    lx = (x0i == -1)[..., None]
+    hx = (x0i == w - 1)[..., None]
+    r0c0 = jnp.where(hy, p10, p00)
+    r0c1 = jnp.where(hy, p11, p01)
+    r1c0 = jnp.where(ly, p00, p10)
+    r1c1 = jnp.where(ly, p01, p11)
+    v00 = jnp.where(hx, r0c1, r0c0)
+    v01 = jnp.where(lx, r0c0, r0c1)
+    v10 = jnp.where(hx, r1c1, r1c0)
+    v11 = jnp.where(lx, r1c0, r1c1)
 
     fx = fx[..., None]
     fy = fy[..., None]

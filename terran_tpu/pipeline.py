@@ -8,12 +8,16 @@ loop — see SURVEY §3), here THREE jitted programs run per batch with no
 intermediate host round trips:
 
 1. ``perception_step``: on-device resize, RetinaFace forward + anchor
-   decode + masked NMS, landmark rescale + rounding, on-device Umeyama
-   alignment + bilinear warps of the top-``max_faces`` crops from the
-   full-resolution frames.
-2. ``embed``: ArcFace forward + L2 normalisation of the aligned crops
-   (split out so no single compile unit is huge; crops pass
-   device-to-device).
+   decode + masked NMS, landmark rescale + rounding.
+2. ``warp_embed`` (default, ``embed_dispatch='adaptive'``): once the
+   detection results reach the host, a warp+embed program sized to the
+   number of faces actually found (bucketed static shapes) aligns and
+   embeds them straight from the resident frames — warp-gather and
+   ArcFace cost scale with real occupancy, not the (batch, max_faces)
+   capacity. With ``embed_dispatch='fused'`` (always under a mesh) the
+   on-device Umeyama alignment + warps stay inside program 1 at full
+   capacity and a fixed-shape ``embed`` program consumes the crops with
+   no host round trip in between.
 3. ``pose decode`` (``terran_tpu.ops.pose_decode``): CPM forward + bicubic
    upsample + peak finding + PAF integrals.
 
@@ -42,7 +46,9 @@ from terran_tpu.ops.resize import resize_bilinear, resized_shape
 from terran_tpu.ops.fused_peaks import find_peaks_fused, fused_peaks_enabled
 from terran_tpu.ops.pose_decode import NUM_PARTS, find_peaks, limb_scores
 from terran_tpu.ops.upsample import upsample_bicubic
-from terran_tpu.ops.warp import alignment_matrices_jax, warp_affine_batch
+from terran_tpu.ops.warp import (
+    alignment_matrices_jax, alignment_matrix, warp_affine_batch,
+)
 from terran_tpu.parallel.mesh import (
     batch_sharding, pad_batch_to_multiple, replicated_sharding,
 )
@@ -61,7 +67,8 @@ class PerceptionPipeline:
                  det_short_side=None, pose_short_side=None, threshold=None,
                  nms_threshold=None, top_k=None, max_faces=None,
                  max_peaks=None, compute_dtype=None, mesh=None,
-                 with_pose=True, with_embeddings=True, timer=None):
+                 with_pose=True, with_embeddings=True, timer=None,
+                 embed_dispatch=None):
         from terran_tpu.checkpoint import load_checkpoint_params
         from terran_tpu.config import get_config
 
@@ -122,8 +129,30 @@ class PerceptionPipeline:
             put(pose_params) if pose_params is not None else None
         )
 
+        # Embed dispatch mode: 'adaptive' sizes the warp+embed program to
+        # the detected face count (the reference embeds exactly the
+        # detected faces by flattening them across images,
+        # arcface/wrapper.py:137-147 — this is its TPU analogue with
+        # bucketed static shapes); 'fused' keeps alignment inside the
+        # detection program at full (batch, max_faces) capacity. A sharded
+        # program cannot take a host-chosen size per shard, so a mesh
+        # always uses 'fused'.
+        mode = cfg.embed_dispatch if embed_dispatch is None else embed_dispatch
+        if mode == "auto":
+            mode = "fused" if mesh is not None else "adaptive"
+        if mesh is not None:
+            mode = "fused"
+        if mode not in ("adaptive", "fused"):
+            raise ValueError(f"unknown embed_dispatch {mode!r}")
+        self.embed_dispatch = mode
+        self.embed_buckets = sorted(
+            int(x) for x in str(cfg.pipeline_embed_buckets).split(",")
+            if str(x).strip()
+        )
+
         self._step_fns = {}
         self._pose_fns = {}
+        self._warp_embed_fns = {}
 
         # Optional observability hook (terran_tpu.utils.profiling.StageTimer).
         self.timer = timer
@@ -160,7 +189,10 @@ class PerceptionPipeline:
         top_k = self.top_k
         max_faces = self.max_faces
         inv_scale = 1.0 / det_scale
-        with_embeddings = self.with_embeddings and self.rec_params is not None
+        with_embeddings = (
+            self.with_embeddings and self.rec_params is not None
+            and self.embed_dispatch == "fused"
+        )
 
         def step(det_params, rec_params, frames_full):
             # Resize on device; only the raw uint8 frames crossed the link.
@@ -255,6 +287,55 @@ class PerceptionPipeline:
             num_batch_args=2, num_param_args=1,
         ))
         return self._embed_jit
+
+    def _warp_embed_fn(self, k_slots, frames_shape):
+        """Warp+embed program for ``k_slots`` face slots PER FRAME of a
+        resident batch (adaptive embed path; one compile per (k, shape)).
+
+        The slot grid keeps the warp in its fastest lowering — the same
+        operand-batched patch gather as the fused path (one gather vmapped
+        over frames; a flat face list with per-descriptor frame indices
+        measured ~2.5x slower per descriptor, and frame duplication via
+        ``frames[fidx]`` slower still — see docs/architecture.md). The plan
+        crosses the link as ONE packed (B, k, 7) f32 array: 6 alignment
+        matrix entries (host float64 Umeyama, like the standalone
+        Recognition API) + validity.
+        """
+        key = (k_slots,) + tuple(frames_shape)
+        if key in self._warp_embed_fns:
+            return self._warp_embed_fns[key]
+
+        def warp_embed(rec_params, frames, packed):
+            b = frames.shape[0]
+            mats = packed[..., :6].reshape(b, k_slots, 2, 3)
+            valid = packed[..., 6] > 0.5
+            crops = jax.vmap(
+                lambda img, m: warp_affine_batch(img, m)
+            )(frames, mats)
+            crops = jnp.round(crops)  # reference warps to uint8
+            flat = crops.reshape((-1,) + crops.shape[2:])
+            feats = self.rec_model.apply(
+                {"params": rec_params},
+                flat.astype(self.rec_model.compute_dtype),
+            )
+            feats = normalize_embeddings(feats.astype(jnp.float32))
+            feats = feats.reshape(b, k_slots, -1)
+            feats = jnp.where(valid[..., None], feats, 0.0)
+            return jnp.concatenate(
+                [feats, valid[..., None].astype(jnp.float32)], axis=-1
+            )
+
+        fn = jax.jit(warp_embed)
+        self._warp_embed_fns[key] = fn
+        return fn
+
+    def _select_embed_bucket(self, count, capacity):
+        """Smallest configured per-frame slot bucket >= count, else the
+        full ``max_faces`` capacity."""
+        for b in self.embed_buckets:
+            if count <= b < capacity:
+                return b
+        return capacity
 
     def _pose_fn(self, full_h, full_w):
         key = (full_h, full_w)
@@ -392,10 +473,17 @@ class PerceptionPipeline:
                     self.rec_params, out.pop("crops"),
                     out.pop("emb_mask_dev"),
                 )
-        # Start result transfers while the pose program runs.
-        for v in out.values():
-            if hasattr(v, "copy_to_host_async"):
+        # Start result transfers while the pose program runs ("_"-keys are
+        # device-resident inputs kept for later dispatches, not results).
+        for key, v in out.items():
+            if not key.startswith("_") and hasattr(v, "copy_to_host_async"):
                 v.copy_to_host_async()
+        if (self.embed_dispatch == "adaptive" and self.with_embeddings
+                and self.rec_params is not None):
+            # The adaptive embed program is dispatched in finalize_batch,
+            # once the detection results (face count, landmarks) are on
+            # the host; the frames must stay resident until then.
+            out["_frames_dev"] = frames_dev
 
         pose_out = None
         pose_scale = None
@@ -416,6 +504,26 @@ class PerceptionPipeline:
         """Fetch results and run the host stages for a dispatched batch."""
         if stage is None:
             stage = self._stage
+
+        frames_dev = out.pop("_frames_dev", None)
+
+        # Detection results first: the adaptive embed dispatch below needs
+        # the host-side face count and landmarks (their transfer was
+        # already started by copy_to_host_async at dispatch time).
+        det = np.asarray(out.pop("det_packed"))[:n]
+        k = det.shape[1]
+        out["boxes"] = det[..., :4].astype(np.int32)
+        out["landmarks"] = det[..., 4:14].reshape(n, k, 5, 2).astype(np.int32)
+        out["scores"] = det[..., 14].astype(np.float32)
+        out["mask"] = det[..., 15] > 0.5
+        out["det_overflow"] = det[..., 0, 16] > 0.5
+
+        emb_plan = None
+        if frames_dev is not None:
+            # Dispatch the bucketed warp+embed now; it computes while the
+            # pose fetch and host assembly below run.
+            with stage("embed_dispatch", items=n):
+                emb_plan = self._dispatch_adaptive_embed(out, frames_dev, n)
 
         if pose_out is not None:
             with stage("pose_fetch", items=n):
@@ -438,21 +546,65 @@ class PerceptionPipeline:
                     )
                 out["poses"] = poses
 
-        # Unpack the single-transfer arrays and trim mesh padding.
-        det = np.asarray(out.pop("det_packed"))[:n]
-        k = det.shape[1]
-        out["boxes"] = det[..., :4].astype(np.int32)
-        out["landmarks"] = det[..., 4:14].reshape(n, k, 5, 2).astype(np.int32)
-        out["scores"] = det[..., 14].astype(np.float32)
-        out["mask"] = det[..., 15] > 0.5
-        out["det_overflow"] = det[..., 0, 16] > 0.5
         if "emb_packed" in out:
+            # Fused path: unpack the single-transfer embedding grid.
             emb = np.asarray(out.pop("emb_packed"))[:n]
             out["embeddings"] = emb[..., :-1]
             out["embeddings_mask"] = emb[..., -1] > 0.5
+        elif frames_dev is not None:
+            with stage("embed_fetch", items=n):
+                out["embeddings"], out["embeddings_mask"] = (
+                    self._collect_adaptive_embed(emb_plan, n)
+                )
         if "poses" in out:
             out["poses"] = out["poses"][:n]
         return out
+
+    def _dispatch_adaptive_embed(self, out, frames_dev, n):
+        """Plan and enqueue the bucketed warp+embed program.
+
+        The per-frame slot count ``k`` is the smallest bucket covering the
+        busiest frame of this batch (the NMS outputs are score-sorted, so
+        slots ``[:k]`` are exactly the faces the fused path would embed).
+        Host Umeyama (float64, like the standalone Recognition API) fills
+        one (B, k, 7) upload: 6 matrix entries + validity. Returns the
+        in-flight device result, or None when no faces were found (no
+        program runs at all — the reference's empty-input (0, 512) case,
+        arcface/wrapper.py:159-164).
+        """
+        mask = out["mask"][:, :self.max_faces]
+        lmks = out["landmarks"][:, :self.max_faces]
+        # Slots are positional (NMS suppression leaves holes in the mask),
+        # so the bucket must cover the highest OCCUPIED slot, not the count.
+        slot_no = np.arange(1, mask.shape[1] + 1)
+        busiest = int((mask * slot_no).max()) if mask.size else 0
+        if busiest == 0:
+            return None
+        k = self._select_embed_bucket(busiest, self.max_faces)
+        b = frames_dev.shape[0]
+        packed = np.zeros((b, k, 7), np.float32)
+        for i, j in np.argwhere(mask[:, :k]):
+            packed[i, j, :6] = alignment_matrix(
+                lmks[i, j].astype(np.float32)
+            ).reshape(-1)
+            packed[i, j, 6] = 1.0
+        fn = self._warp_embed_fn(k, frames_dev.shape)
+        emb = fn(self.rec_params, frames_dev, jnp.asarray(packed))
+        if hasattr(emb, "copy_to_host_async"):
+            emb.copy_to_host_async()
+        return emb
+
+    def _collect_adaptive_embed(self, plan, n):
+        """Fetch the adaptive embed result and place it in the
+        (n, max_faces, 512) grid the fused path produces."""
+        grid = np.zeros((n, self.max_faces, 512), np.float32)
+        grid_mask = np.zeros((n, self.max_faces), bool)
+        if plan is not None:
+            emb = np.asarray(plan)[:n]
+            k = emb.shape[1]
+            grid[:, :k] = emb[..., :512]
+            grid_mask[:, :k] = emb[..., 512] > 0.5
+        return grid, grid_mask
 
     def process_stream(self, batches, depth=None, prefetch=True):
         """Software-pipelined batch processing.

@@ -168,3 +168,61 @@ def test_process_stream_with_mesh(tiny_pipeline_params, rng):
         direct = single.process_batch(frames)
         np.testing.assert_array_equal(out["mask"], direct["mask"])
         np.testing.assert_array_equal(out["boxes"], direct["boxes"])
+
+
+def test_adaptive_embed_matches_fused(tiny_pipeline_params, rng):
+    """The bucketed warp+embed path returns the same embedding grid as the
+    fused full-capacity path (host float64 vs on-device float32 Umeyama
+    perturb the alignment in the last ulps, so tolerance not equality)."""
+    adaptive = _make_pipeline(tiny_pipeline_params)
+    fused = _make_pipeline(tiny_pipeline_params)
+    fused.embed_dispatch = "fused"
+    assert adaptive.embed_dispatch == "adaptive"
+
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out_a = adaptive.process_batch(frames)
+    out_f = fused.process_batch(frames)
+
+    np.testing.assert_array_equal(out_a["mask"], out_f["mask"])
+    np.testing.assert_array_equal(
+        out_a["embeddings_mask"], out_f["embeddings_mask"]
+    )
+    assert out_a["embeddings"].shape == out_f["embeddings"].shape
+    valid = out_a["embeddings_mask"]
+    if valid.any():
+        a = out_a["embeddings"][valid]
+        f = out_f["embeddings"][valid]
+        # L2-normalised embeddings: compare by cosine similarity.
+        cos = (a * f).sum(axis=-1)
+        assert (cos > 0.999).all(), cos.min()
+    # Invalid slots are zero in both.
+    np.testing.assert_array_equal(out_a["embeddings"][~valid], 0.0)
+
+
+def test_adaptive_embed_no_faces_skips_program(tiny_pipeline_params, rng):
+    pipe = _make_pipeline(tiny_pipeline_params)
+    pipe.threshold = 2.0  # nothing can clear it -> zero faces
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out = pipe.process_batch(frames)
+    assert not out["mask"].any()
+    np.testing.assert_array_equal(out["embeddings"], 0.0)
+    assert not out["embeddings_mask"].any()
+    # No warp+embed program was ever built, let alone dispatched.
+    assert pipe._warp_embed_fns == {}
+
+
+def test_embed_bucket_selection(tiny_pipeline_params):
+    pipe = _make_pipeline(tiny_pipeline_params)
+    pipe.embed_buckets = [2, 4, 8]
+    assert pipe._select_embed_bucket(1, 16) == 2
+    assert pipe._select_embed_bucket(2, 16) == 2
+    assert pipe._select_embed_bucket(3, 16) == 4
+    assert pipe._select_embed_bucket(9, 16) == 16
+    # Buckets at or above capacity collapse into the capacity program.
+    assert pipe._select_embed_bucket(3, 4) == 4
+
+
+def test_mesh_forces_fused_embed(tiny_pipeline_params):
+    mesh = create_mesh(8)
+    pipe = _make_pipeline(tiny_pipeline_params, mesh=mesh)
+    assert pipe.embed_dispatch == "fused"

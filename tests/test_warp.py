@@ -79,3 +79,4 @@ def test_alignment_matrix_maps_template_to_landmarks(rng):
     inv = alignment_matrix(landmarks)
     back = (inv[:, :2] @ ARCFACE_TEMPLATE.T).T + inv[:, 2]
     np.testing.assert_allclose(back, landmarks, atol=1e-2)
+

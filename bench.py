@@ -198,12 +198,37 @@ def measure_device_only(pipeline, frames, iters):
                 perturb_index=1, iters=iters,
             )
     if pipeline.with_pose:
-        posefn = pipeline._pose_fn(full_h, full_w)
-        stage_ms["pose"], _ = scan_time(
-            lambda pp, f: posefn(pp, f),
-            (pipeline.pose_params, frames_dev), perturb_index=1,
-            iters=iters,
-        )
+        if pipeline.limb_dispatch == "adaptive":
+            import jax.numpy as jnp
+            from device_time import synthetic_peak_plan
+
+            from terran_tpu.ops.pose_decode import NUM_PARTS
+
+            pd = pipeline._pose_detect_fn(full_h, full_w)
+            p1_ms, _ = scan_time(
+                lambda pp, f: pd(pp, f),
+                (pipeline.pose_params, frames_dev), perturb_index=1,
+                iters=iters,
+            )
+            _, paf = pd(pipeline.pose_params, frames_dev)
+            fh, fw = paf.shape[1:3]
+            cv = jnp.asarray(synthetic_peak_plan(
+                frames.shape[0], NUM_PARTS, pipeline.max_peaks,
+                fh * 8, fw * 8,
+            ))
+            limb = pipeline._limb_fn(pipeline.max_peaks, paf.shape)
+            limb_ms, _ = scan_time(
+                lambda pf, c: limb(pf, c), (paf, cv), perturb_index=0,
+                iters=iters,
+            )
+            stage_ms["pose"] = p1_ms + limb_ms
+        else:
+            posefn = pipeline._pose_fn(full_h, full_w)
+            stage_ms["pose"], _ = scan_time(
+                lambda pp, f: posefn(pp, f),
+                (pipeline.pose_params, frames_dev), perturb_index=1,
+                iters=iters,
+            )
 
     total_s = sum(stage_ms.values()) / 1000.0
     fps = frames.shape[0] / total_s
@@ -280,9 +305,27 @@ def flops_main(batch, height, width):
                 pipeline.rec_params, crops, mask
             ))
     if pipeline.with_pose:
-        flops += analyzed(pipeline._pose_fn(height, width).lower(
-            pipeline.pose_params, frames
-        ))
+        if pipeline.limb_dispatch == "adaptive":
+            from terran_tpu.ops.pose_decode import NUM_PARTS
+
+            pd = pipeline._pose_detect_fn(height, width)
+            flops += analyzed(pd.lower(pipeline.pose_params, frames))
+            _, paf_shape = jax.eval_shape(
+                pd, pipeline.pose_params, frames
+            )
+            cv = np.zeros(
+                (batch, NUM_PARTS, pipeline.max_peaks, 3), np.float32
+            )
+            paf = np.zeros(paf_shape.shape, np.float32)
+            flops += analyzed(
+                pipeline._limb_fn(
+                    pipeline.max_peaks, paf_shape.shape
+                ).lower(paf, cv)
+            )
+        else:
+            flops += analyzed(pipeline._pose_fn(height, width).lower(
+                pipeline.pose_params, frames
+            ))
     print(json.dumps({"flops": flops}))
 
 

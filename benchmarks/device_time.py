@@ -90,6 +90,16 @@ def synthetic_embed_packed(batch, k_slots, height, width, face_px=64,
     return packed
 
 
+def synthetic_peak_plan(batch, parts, kb, ups_h, ups_w, seed=0):
+    """Full-occupancy limb plan: (batch, parts, kb, 3) f32 of random
+    in-field peak coordinates (y, x, valid), for worst-case limb timing."""
+    rng = np.random.default_rng(seed)
+    cv = np.ones((batch, parts, kb, 3), np.float32)
+    cv[..., 0] = rng.integers(0, ups_h, (batch, parts, kb))
+    cv[..., 1] = rng.integers(0, ups_w, (batch, parts, kb))
+    return cv
+
+
 def main():
     import sys
     from pathlib import Path
@@ -117,7 +127,6 @@ def main():
     )
     fd = jax.block_until_ready(pipeline.put_frames(frames))
     step = pipeline._perception_fn(height, width)
-    posefn = pipeline._pose_fn(height, width)
 
     import sys as _sys
 
@@ -152,10 +161,35 @@ def main():
             perturb_index=1, iters=iters,
         )
     print(f"# embed {embed_ms:.2f} ms", file=_sys.stderr, flush=True)
-    pose_ms, _ = scan_time(
-        lambda p, f: posefn(p, f), (pipeline.pose_params, fd),
-        perturb_index=1, iters=iters,
-    )
+    if pipeline.limb_dispatch == "adaptive":
+        import jax.numpy as jnp
+
+        from terran_tpu.ops.pose_decode import NUM_PARTS
+
+        pd = pipeline._pose_detect_fn(height, width)
+        p1_ms, _ = scan_time(
+            lambda p, f: pd(p, f), (pipeline.pose_params, fd),
+            perturb_index=1, iters=iters,
+        )
+        _, paf = pd(pipeline.pose_params, fd)
+        fh, fw = paf.shape[1:3]
+        cv = jnp.asarray(synthetic_peak_plan(
+            batch, NUM_PARTS, pipeline.max_peaks, fh * 8, fw * 8
+        ))
+        limb = pipeline._limb_fn(pipeline.max_peaks, paf.shape)
+        limb_ms, _ = scan_time(
+            lambda pf, c: limb(pf, c), (paf, cv), perturb_index=0,
+            iters=iters,
+        )
+        pose_ms = p1_ms + limb_ms
+        print(f"# pose: detect {p1_ms:.2f} + limbs {limb_ms:.2f} ms",
+              file=_sys.stderr, flush=True)
+    else:
+        posefn = pipeline._pose_fn(height, width)
+        pose_ms, _ = scan_time(
+            lambda p, f: posefn(p, f), (pipeline.pose_params, fd),
+            perturb_index=1, iters=iters,
+        )
     print(f"# pose {pose_ms:.2f} ms", file=_sys.stderr, flush=True)
 
     total_ms = detect_ms + embed_ms + pose_ms

@@ -54,6 +54,14 @@ class Config:
     # the full max_faces capacity is always available as the fallback
     # bucket, so crowded batches lose nothing.
     pipeline_embed_buckets: str = "2,4,8"
+    # Pose limb scoring: 'adaptive' splits the pose program and sizes the
+    # (K, K) limb-pair tables to the peaks actually found (buckets below);
+    # 'fused' keeps one program at max_peaks capacity; 'auto' = adaptive
+    # on a single device, fused under a mesh.
+    limb_dispatch: str = "auto"
+    # Comma-separated per-part peak-slot sizes for the adaptive limb
+    # program; max_peaks_per_part is always the fallback bucket.
+    pose_peak_buckets: str = "4,8"
 
     # I/O buffering.
     reader_buffer_batches: int = 1

@@ -44,7 +44,9 @@ from terran_tpu.models.retinaface import (
 from terran_tpu.ops.nms import nms_fixed
 from terran_tpu.ops.resize import resize_bilinear, resized_shape
 from terran_tpu.ops.fused_peaks import find_peaks_fused, fused_peaks_enabled
-from terran_tpu.ops.pose_decode import NUM_PARTS, find_peaks, limb_scores
+from terran_tpu.ops.pose_decode import (
+    NUM_LIMBS, NUM_PARTS, find_peaks, limb_scores,
+)
 from terran_tpu.ops.upsample import upsample_bicubic
 from terran_tpu.ops.warp import (
     alignment_matrices_jax, alignment_matrix, warp_affine_batch,
@@ -150,9 +152,29 @@ class PerceptionPipeline:
             if str(x).strip()
         )
 
+        # Pose limb dispatch mirrors the embed dispatch: the (K, K)
+        # limb-pair tables are sized to the peaks a batch actually
+        # produced (valid peaks occupy prefix slots — find_peaks re-orders
+        # row-major with invalid slots last), with the full max_peaks
+        # capacity as the fallback bucket.
+        lmode = cfg.limb_dispatch
+        if lmode == "auto":
+            lmode = "fused" if mesh is not None else "adaptive"
+        if mesh is not None:
+            lmode = "fused"
+        if lmode not in ("adaptive", "fused"):
+            raise ValueError(f"unknown limb_dispatch {lmode!r}")
+        self.limb_dispatch = lmode
+        self.peak_buckets = sorted(
+            int(x) for x in str(cfg.pose_peak_buckets).split(",")
+            if str(x).strip()
+        )
+
         self._step_fns = {}
         self._pose_fns = {}
         self._warp_embed_fns = {}
+        self._pose_detect_fns = {}
+        self._limb_fns = {}
 
         # Optional observability hook (terran_tpu.utils.profiling.StageTimer).
         self.timer = timer
@@ -415,6 +437,97 @@ class PerceptionPipeline:
         self._pose_fns[key] = decode
         return decode
 
+    def _pose_detect_fn(self, full_h, full_w):
+        """First half of the adaptive pose path: forward + peak finding.
+
+        Returns (peaks_packed, paf) with the PAF left at x1 resolution ON
+        DEVICE (a few MB) — the x8 upsample and the (K, K) limb-pair
+        scoring move to the bucketed :meth:`_limb_fn` program, sized to
+        the peaks this batch actually produced.
+        """
+        key = (full_h, full_w)
+        if key in self._pose_detect_fns:
+            return self._pose_detect_fns[key]
+
+        pose_h, pose_w, _ = resized_shape(
+            full_h, full_w, self.pose_short_side
+        )
+        use_fused = self.use_fused_peaks  # adaptive mode is meshless
+
+        def detect_pose(pose_params, frames_full):
+            frames_pose = jnp.round(
+                resize_bilinear(frames_full, pose_h, pose_w)
+            )
+            x = frames_pose.astype(jnp.float32) / 255.0 - 0.5
+            paf, heat = self.pose_model.apply(
+                {"params": pose_params},
+                x.astype(self.pose_model.compute_dtype),
+            )
+            paf = paf.astype(jnp.float32)
+
+            if use_fused:
+                coords, scores, valid, overflow = find_peaks_fused(
+                    heat.astype(jnp.float32)[..., :NUM_PARTS],
+                    self.keypoint_threshold, self.max_peaks,
+                )
+            else:
+                heat_up = upsample_bicubic(heat.astype(jnp.float32), 8)
+                coords, scores, valid, overflow = jax.vmap(
+                    lambda hm: find_peaks(
+                        hm[..., :NUM_PARTS], self.keypoint_threshold,
+                        self.max_peaks,
+                    )
+                )(heat_up)
+
+            peaks = jnp.concatenate(
+                [
+                    coords.astype(jnp.float32),
+                    scores[..., None],
+                    valid[..., None].astype(jnp.float32),
+                    jnp.broadcast_to(
+                        overflow[..., None, None],
+                        coords.shape[:3] + (1,),
+                    ).astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+            return peaks, paf
+
+        fn = jax.jit(detect_pose)
+        self._pose_detect_fns[key] = fn
+        return fn
+
+    def _limb_fn(self, kb, paf_shape):
+        """Bucketed limb-pair scoring: PAF x8 upsample + line integrals
+        over (kb, kb) candidate pairs per limb (one compile per bucket).
+
+        Takes the peak plan as one (B, P, kb, 3) upload: y, x, valid.
+        """
+        key = (kb,) + tuple(paf_shape)
+        if key in self._limb_fns:
+            return self._limb_fns[key]
+
+        def limbs_fn(paf, cv_packed):
+            coords = cv_packed[..., :2].astype(jnp.int32)
+            valid = cv_packed[..., 2] > 0.5
+            paf8 = upsample_bicubic(paf, 8)
+            reg, accept = jax.vmap(
+                lambda p, c, v: limb_scores(
+                    p, c, v, self.thresh_midpoint
+                )
+            )(paf8, coords, valid)
+            return jnp.stack([reg, accept.astype(jnp.float32)], axis=-1)
+
+        fn = jax.jit(limbs_fn)
+        self._limb_fns[key] = fn
+        return fn
+
+    def _select_peak_bucket(self, count):
+        for b in self.peak_buckets:
+            if count <= b < self.max_peaks:
+                return b
+        return self.max_peaks
+
     # ------------------------------------------------------------------
     # Host orchestration
     # ------------------------------------------------------------------
@@ -491,12 +604,20 @@ class PerceptionPipeline:
             _, _, pose_scale = resized_shape(
                 full_h, full_w, self.pose_short_side
             )
-            decode = self._pose_fn(full_h, full_w)
-            with stage("pose_dispatch", items=n):
-                pose_out = decode(self.pose_params, frames_dev)
-                for v in pose_out:
-                    if hasattr(v, "copy_to_host_async"):
-                        v.copy_to_host_async()
+            if self.limb_dispatch == "adaptive":
+                pd = self._pose_detect_fn(full_h, full_w)
+                with stage("pose_dispatch", items=n):
+                    peaks_dev, paf_dev = pd(self.pose_params, frames_dev)
+                    if hasattr(peaks_dev, "copy_to_host_async"):
+                        peaks_dev.copy_to_host_async()
+                pose_out = ("adaptive", peaks_dev, paf_dev)
+            else:
+                decode = self._pose_fn(full_h, full_w)
+                with stage("pose_dispatch", items=n):
+                    pose_out = decode(self.pose_params, frames_dev)
+                    for v in pose_out:
+                        if hasattr(v, "copy_to_host_async"):
+                            v.copy_to_host_async()
 
         return out, pose_out, n, pose_scale
 
@@ -526,14 +647,43 @@ class PerceptionPipeline:
                 emb_plan = self._dispatch_adaptive_embed(out, frames_dev, n)
 
         if pose_out is not None:
-            with stage("pose_fetch", items=n):
-                from terran_tpu.ops.pose_decode import unpack_pose_outputs
-
-                (coords, scores, valid, reg, accept,
-                 pose_overflow) = unpack_pose_outputs(
-                    *map(np.asarray, pose_out)
+            if isinstance(pose_out, tuple) and pose_out[0] == "adaptive":
+                with stage("pose_fetch", items=n):
+                    peaks_np = np.asarray(pose_out[1])[:n]
+                coords = peaks_np[..., :2].astype(np.int32)
+                scores = peaks_np[..., 2].astype(np.float32)
+                valid = peaks_np[..., 3] > 0.5
+                out["pose_overflow"] = (peaks_np[..., 0, 4] > 0.5).any(
+                    axis=-1
                 )
-                out["pose_overflow"] = pose_overflow[:n].any(axis=-1)
+                with stage("limb_dispatch", items=n):
+                    kb, limbs_dev = self._dispatch_adaptive_limbs(
+                        pose_out[2], coords, valid
+                    )
+                coords = coords[:, :, :kb]
+                scores = scores[:, :, :kb]
+                valid = valid[:, :, :kb]
+                with stage("limb_fetch", items=n):
+                    if limbs_dev is None:  # no peaks anywhere
+                        reg = np.zeros(
+                            (n, NUM_LIMBS, kb, kb), np.float32
+                        )
+                        accept = np.zeros((n, NUM_LIMBS, kb, kb), bool)
+                    else:
+                        limbs = np.asarray(limbs_dev)[:n]
+                        reg = limbs[..., 0]
+                        accept = limbs[..., 1] > 0.5
+            else:
+                with stage("pose_fetch", items=n):
+                    from terran_tpu.ops.pose_decode import (
+                        unpack_pose_outputs,
+                    )
+
+                    (coords, scores, valid, reg, accept,
+                     pose_overflow) = unpack_pose_outputs(
+                        *map(np.asarray, pose_out)
+                    )
+                    out["pose_overflow"] = pose_overflow[:n].any(axis=-1)
             with stage("pose_assembly", items=n):
                 poses = []
                 for i in range(n):
@@ -559,6 +709,33 @@ class PerceptionPipeline:
         if "poses" in out:
             out["poses"] = out["poses"][:n]
         return out
+
+    def _dispatch_adaptive_limbs(self, paf_dev, coords, valid):
+        """Enqueue the bucketed limb-pair program.
+
+        ``kb`` covers the busiest (image, part)'s valid-peak count (valid
+        peaks occupy prefix slots). Returns (kb, in-flight result), or
+        (1, None) when the whole batch produced no peaks — nothing to
+        score, and 1-slot all-invalid tables feed assembly the same way
+        the full program would.
+        """
+        counts = valid.sum(axis=-1)
+        busiest = int(counts.max()) if counts.size else 0
+        if busiest == 0:
+            return 1, None
+        kb = self._select_peak_bucket(busiest)
+        cv = np.concatenate(
+            [
+                coords[:, :, :kb].astype(np.float32),
+                (valid[:, :, :kb])[..., None].astype(np.float32),
+            ],
+            axis=-1,
+        )
+        fn = self._limb_fn(kb, paf_dev.shape)
+        limbs = fn(paf_dev, jnp.asarray(cv))
+        if hasattr(limbs, "copy_to_host_async"):
+            limbs.copy_to_host_async()
+        return kb, limbs
 
     def _dispatch_adaptive_embed(self, out, frames_dev, n):
         """Plan and enqueue the bucketed warp+embed program.

@@ -226,3 +226,44 @@ def test_mesh_forces_fused_embed(tiny_pipeline_params):
     mesh = create_mesh(8)
     pipe = _make_pipeline(tiny_pipeline_params, mesh=mesh)
     assert pipe.embed_dispatch == "fused"
+
+
+def test_adaptive_limbs_match_fused(tiny_pipeline_params, rng):
+    """Splitting the pose program and bucketing the limb tables must give
+    identical poses: pair scores are computed per pair from the same x8
+    PAF, and every valid peak lives in the prefix slots the bucket keeps."""
+    adaptive = _make_pipeline(tiny_pipeline_params)
+    fused = _make_pipeline(tiny_pipeline_params)
+    fused.limb_dispatch = "fused"
+    fused.embed_dispatch = "fused"
+    assert adaptive.limb_dispatch == "adaptive"
+
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out_a = adaptive.process_batch(frames)
+    out_f = fused.process_batch(frames)
+
+    np.testing.assert_array_equal(out_a["pose_overflow"],
+                                  out_f["pose_overflow"])
+    assert len(out_a["poses"]) == len(out_f["poses"])
+    for pa, pf in zip(out_a["poses"], out_f["poses"]):
+        assert len(pa) == len(pf)
+        for ha, hf in zip(pa, pf):
+            np.testing.assert_array_equal(ha["keypoints"], hf["keypoints"])
+
+
+def test_adaptive_limbs_no_peaks(tiny_pipeline_params, rng):
+    pipe = _make_pipeline(tiny_pipeline_params)
+    pipe.keypoint_threshold = 1e9  # nothing can clear it
+    pipe.threshold = 2.0
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out = pipe.process_batch(frames)
+    assert out["poses"] == [[], []]
+    assert pipe._limb_fns == {}  # no limb program was built
+
+
+def test_peak_bucket_selection(tiny_pipeline_params):
+    pipe = _make_pipeline(tiny_pipeline_params)  # max_peaks=8
+    pipe.peak_buckets = [4]
+    assert pipe._select_peak_bucket(1) == 4
+    assert pipe._select_peak_bucket(4) == 4
+    assert pipe._select_peak_bucket(5) == 8

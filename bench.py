@@ -184,7 +184,6 @@ def measure_device_only(pipeline, frames, iters):
             import jax.numpy as jnp
             from device_time import synthetic_embed_packed
 
-            full_h, full_w = frames.shape[1:3]
             packed = jnp.asarray(synthetic_embed_packed(
                 frames.shape[0], pipeline.max_faces, full_h, full_w
             ))

@@ -107,9 +107,27 @@ def warp_affine(image, matrix, out_h=112, out_w=112):
       pixels take whatever taps the clamp yields and are overwritten by
       the fill.
 
-    Requires a source of at least 2x2 pixels.
+    Sources smaller than 2x2 (degenerate, but PIL accepts them) take a
+    padded-gather fallback where the (2, 2) window cannot fit.
     """
     h, w = image.shape[0], image.shape[1]
+    if h < 2 or w < 2:
+        # Edge-pad up to 2x2 so the patch window fits; per-tap clamping is
+        # then the old padded-origin formulation. The pad is at most a few
+        # pixels — the operand-copy cost this function avoids for real
+        # images is irrelevant here.
+        image = jnp.pad(
+            image, ((0, max(0, 2 - h)), (0, max(0, 2 - w)), (0, 0)),
+            mode="edge",
+        )
+        return _warp_affine_core(image, matrix, out_h, out_w, h, w)
+    return _warp_affine_core(image, matrix, out_h, out_w, h, w)
+
+
+def _warp_affine_core(image, matrix, out_h, out_w, h, w):
+    """warp_affine's body; ``h``/``w`` are the LOGICAL source dims (the
+    image may be edge-padded beyond them for the tiny-source fallback —
+    edge replication makes the extra taps correct)."""
     ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5
     xs = jnp.arange(out_w, dtype=jnp.float32) + 0.5
     xg, yg = jnp.meshgrid(xs, ys)  # (out_h, out_w)
@@ -132,10 +150,12 @@ def warp_affine(image, matrix, out_h=112, out_w=112):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # Patch origins clamped so the (2, 2) window stays inside the raw
-    # source; border-tap replication is restored by the selects below.
-    oy = jnp.clip(y0i, 0, h - 2)
-    ox = jnp.clip(x0i, 0, w - 2)
+    # Patch origins clamped so the (2, 2) window stays inside the PHYSICAL
+    # array (== logical except in the tiny-source fallback, where trailing
+    # edge replicas make any over-fetch correct); border-tap replication
+    # against the LOGICAL dims is restored by the selects below.
+    oy = jnp.clip(y0i, 0, image.shape[0] - 2)
+    ox = jnp.clip(x0i, 0, image.shape[1] - 2)
     starts = jnp.stack([oy.reshape(-1), ox.reshape(-1)], axis=-1)
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(),

@@ -79,7 +79,10 @@ def initialize_multi_host(coordinator_address=None, num_processes=None,
     when the environment carries no coordinator configuration (the
     common single-process case).
     """
-    explicit = coordinator_address is not None
+    explicit = any(
+        a is not None
+        for a in (coordinator_address, num_processes, process_id)
+    )
     kwargs = {}
     if initialization_timeout is not None:
         kwargs["initialization_timeout"] = initialization_timeout
@@ -123,6 +126,14 @@ def local_results(global_array):
     """
     shards = sorted(global_array.addressable_shards,
                     key=lambda s: s.index[0].start or 0)
+    for s in shards:
+        for sl in s.index[1:]:
+            if (sl.start, sl.stop) != (None, None):
+                raise NotImplementedError(
+                    "local_results only supports arrays sharded on the "
+                    "leading axis (or replicated); got shard index "
+                    f"{s.index}"
+                )
     parts = [np.asarray(s.data) for s in shards]
     seen = set()
     unique = []

@@ -58,6 +58,23 @@ from terran_tpu.pose.assembly import assemble_humans, get_keypoints
 from terran_tpu.runtime import default_policy
 
 
+def _resolve_dispatch(name, mode, mesh):
+    """'auto' -> 'adaptive' on a single device, 'fused' under a mesh;
+    explicit 'adaptive' with a mesh is an error (a sharded program cannot
+    take a host-chosen size per shard)."""
+    if mode == "auto":
+        return "fused" if mesh is not None else "adaptive"
+    if mode not in ("adaptive", "fused"):
+        raise ValueError(f"unknown {name} {mode!r}")
+    if mode == "adaptive" and mesh is not None:
+        raise ValueError(
+            f"{name}='adaptive' is incompatible with a mesh: the bucketed "
+            "programs take a host-chosen size, which a sharded program "
+            "cannot vary per shard; use 'fused' (or 'auto')."
+        )
+    return mode
+
+
 class PerceptionPipeline:
     """End-to-end detect+embed+pose over frame batches.
 
@@ -70,7 +87,7 @@ class PerceptionPipeline:
                  nms_threshold=None, top_k=None, max_faces=None,
                  max_peaks=None, compute_dtype=None, mesh=None,
                  with_pose=True, with_embeddings=True, timer=None,
-                 embed_dispatch=None):
+                 embed_dispatch=None, limb_dispatch=None):
         from terran_tpu.checkpoint import load_checkpoint_params
         from terran_tpu.config import get_config
 
@@ -131,40 +148,29 @@ class PerceptionPipeline:
             put(pose_params) if pose_params is not None else None
         )
 
-        # Embed dispatch mode: 'adaptive' sizes the warp+embed program to
-        # the detected face count (the reference embeds exactly the
-        # detected faces by flattening them across images,
-        # arcface/wrapper.py:137-147 — this is its TPU analogue with
-        # bucketed static shapes); 'fused' keeps alignment inside the
-        # detection program at full (batch, max_faces) capacity. A sharded
-        # program cannot take a host-chosen size per shard, so a mesh
-        # always uses 'fused'.
-        mode = cfg.embed_dispatch if embed_dispatch is None else embed_dispatch
-        if mode == "auto":
-            mode = "fused" if mesh is not None else "adaptive"
-        if mesh is not None:
-            mode = "fused"
-        if mode not in ("adaptive", "fused"):
-            raise ValueError(f"unknown embed_dispatch {mode!r}")
-        self.embed_dispatch = mode
+        # Dispatch modes: 'adaptive' sizes the warp+embed program to the
+        # detected face count (the reference embeds exactly the detected
+        # faces by flattening them across images, arcface/wrapper.py:
+        # 137-147 — this is its TPU analogue with bucketed static shapes)
+        # and the limb-pair tables to the peaks actually found (valid
+        # peaks occupy prefix slots). 'fused' keeps full-capacity single
+        # programs with no host round trips. A sharded program cannot
+        # take a host-chosen size per shard, so a mesh requires 'fused'
+        # ('auto' resolves to it; an explicit 'adaptive' raises).
+        self.embed_dispatch = _resolve_dispatch(
+            "embed_dispatch",
+            cfg.embed_dispatch if embed_dispatch is None else embed_dispatch,
+            mesh,
+        )
         self.embed_buckets = sorted(
             int(x) for x in str(cfg.pipeline_embed_buckets).split(",")
             if str(x).strip()
         )
-
-        # Pose limb dispatch mirrors the embed dispatch: the (K, K)
-        # limb-pair tables are sized to the peaks a batch actually
-        # produced (valid peaks occupy prefix slots — find_peaks re-orders
-        # row-major with invalid slots last), with the full max_peaks
-        # capacity as the fallback bucket.
-        lmode = cfg.limb_dispatch
-        if lmode == "auto":
-            lmode = "fused" if mesh is not None else "adaptive"
-        if mesh is not None:
-            lmode = "fused"
-        if lmode not in ("adaptive", "fused"):
-            raise ValueError(f"unknown limb_dispatch {lmode!r}")
-        self.limb_dispatch = lmode
+        self.limb_dispatch = _resolve_dispatch(
+            "limb_dispatch",
+            cfg.limb_dispatch if limb_dispatch is None else limb_dispatch,
+            mesh,
+        )
         self.peak_buckets = sorted(
             int(x) for x in str(cfg.pose_peak_buckets).split(",")
             if str(x).strip()
@@ -200,7 +206,9 @@ class PerceptionPipeline:
         }
 
     def _perception_fn(self, full_h, full_w):
-        key = (full_h, full_w)
+        # The traced program depends on the embed mode (the fused path
+        # warps crops inside it), so mode flips must not reuse the cache.
+        key = (full_h, full_w, self.embed_dispatch)
         if key in self._step_fns:
             return self._step_fns[key]
 
@@ -371,13 +379,8 @@ class PerceptionPipeline:
         use_fused = self.use_fused_peaks and self.mesh is None
 
         def decode(pose_params, frames_full):
-            frames_pose = jnp.round(
-                resize_bilinear(frames_full, pose_h, pose_w)
-            )
-            x = frames_pose.astype(jnp.float32) / 255.0 - 0.5
-            paf, heat = self.pose_model.apply(
-                {"params": pose_params},
-                x.astype(self.pose_model.compute_dtype),
+            paf, peaks, coords, valid = self._pose_front(
+                pose_params, frames_full, pose_h, pose_w, use_fused
             )
             # The PAF field is materialised at x8: the dense phase-FIR
             # upsample vectorises on the VPU and measures ~3x faster
@@ -385,49 +388,14 @@ class PerceptionPipeline:
             # points (ops/pose_decode.py::limb_scores_sampled), whose 16
             # gathers/point dominate on TPU (measured on v5e, batch 8
             # @1080p: 82.6 -> 25.3 device-only fps).
-            paf = upsample_bicubic(paf.astype(jnp.float32), 8)
-
-            if use_fused:
-                # Heatmaps never materialise at x8: the fused Pallas
-                # kernel (ops/fused_peaks.py) scans the phase images in
-                # VMEM and emits only the peak tables. Besides the HBM
-                # traffic, this removes the XLA path's top_k over ~4M
-                # elements x 18 parts per image, whose padding can expand
-                # to several GB of HBM.
-                coords, scores, valid, overflow = find_peaks_fused(
-                    heat.astype(jnp.float32)[..., :NUM_PARTS],
-                    self.keypoint_threshold, self.max_peaks,
-                )
-            else:
-                heat_up = upsample_bicubic(heat.astype(jnp.float32), 8)
-                coords, scores, valid, overflow = jax.vmap(
-                    lambda hm: find_peaks(
-                        hm[..., :NUM_PARTS], self.keypoint_threshold,
-                        self.max_peaks,
-                    )
-                )(heat_up)
-
+            paf8 = upsample_bicubic(paf, 8)
             reg, accept = jax.vmap(
                 lambda paf_i, c, v: limb_scores(
                     paf_i, c, v, self.thresh_midpoint
                 )
-            )(paf, coords, valid)
-
-            # Pack: peaks (B, P, K, 5) = y, x, score, valid, part overflow
-            # (broadcast along K); limbs (B, L, K, K, 2) = reg, accept.
-            # Two transfers total.
-            peaks = jnp.concatenate(
-                [
-                    coords.astype(jnp.float32),
-                    scores[..., None],
-                    valid[..., None].astype(jnp.float32),
-                    jnp.broadcast_to(
-                        overflow[..., None, None],
-                        coords.shape[:3] + (1,),
-                    ).astype(jnp.float32),
-                ],
-                axis=-1,
-            )
+            )(paf8, coords, valid)
+            # Limbs pack: (B, L, K, K, 2) = reg, accept — with the peaks
+            # pack, two transfers total.
             limbs = jnp.stack([reg, accept.astype(jnp.float32)], axis=-1)
             return peaks, limbs
 
@@ -436,6 +404,58 @@ class PerceptionPipeline:
         ))
         self._pose_fns[key] = decode
         return decode
+
+    def _pose_front(self, pose_params, frames_full, pose_h, pose_w,
+                    use_fused):
+        """Traced front half shared by the fused pose program and the
+        adaptive split: on-device resize + CPM forward + fixed-K peak
+        finding. Returns (paf x1 float32, peaks_packed, coords, valid);
+        the peaks pack is (B, P, K, 5) = y, x, score, valid, part
+        overflow (broadcast along K) — the layout
+        ``ops.pose_decode.unpack_pose_outputs`` consumes.
+        """
+        frames_pose = jnp.round(
+            resize_bilinear(frames_full, pose_h, pose_w)
+        )
+        x = frames_pose.astype(jnp.float32) / 255.0 - 0.5
+        paf, heat = self.pose_model.apply(
+            {"params": pose_params},
+            x.astype(self.pose_model.compute_dtype),
+        )
+        paf = paf.astype(jnp.float32)
+
+        if use_fused:
+            # Heatmaps never materialise at x8: the fused Pallas kernel
+            # (ops/fused_peaks.py) scans the phase images in VMEM and
+            # emits only the peak tables. Besides the HBM traffic, this
+            # removes the XLA path's top_k over ~4M elements x 18 parts
+            # per image, whose padding can expand to several GB of HBM.
+            coords, scores, valid, overflow = find_peaks_fused(
+                heat.astype(jnp.float32)[..., :NUM_PARTS],
+                self.keypoint_threshold, self.max_peaks,
+            )
+        else:
+            heat_up = upsample_bicubic(heat.astype(jnp.float32), 8)
+            coords, scores, valid, overflow = jax.vmap(
+                lambda hm: find_peaks(
+                    hm[..., :NUM_PARTS], self.keypoint_threshold,
+                    self.max_peaks,
+                )
+            )(heat_up)
+
+        peaks = jnp.concatenate(
+            [
+                coords.astype(jnp.float32),
+                scores[..., None],
+                valid[..., None].astype(jnp.float32),
+                jnp.broadcast_to(
+                    overflow[..., None, None],
+                    coords.shape[:3] + (1,),
+                ).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        return paf, peaks, coords, valid
 
     def _pose_detect_fn(self, full_h, full_w):
         """First half of the adaptive pose path: forward + peak finding.
@@ -455,41 +475,8 @@ class PerceptionPipeline:
         use_fused = self.use_fused_peaks  # adaptive mode is meshless
 
         def detect_pose(pose_params, frames_full):
-            frames_pose = jnp.round(
-                resize_bilinear(frames_full, pose_h, pose_w)
-            )
-            x = frames_pose.astype(jnp.float32) / 255.0 - 0.5
-            paf, heat = self.pose_model.apply(
-                {"params": pose_params},
-                x.astype(self.pose_model.compute_dtype),
-            )
-            paf = paf.astype(jnp.float32)
-
-            if use_fused:
-                coords, scores, valid, overflow = find_peaks_fused(
-                    heat.astype(jnp.float32)[..., :NUM_PARTS],
-                    self.keypoint_threshold, self.max_peaks,
-                )
-            else:
-                heat_up = upsample_bicubic(heat.astype(jnp.float32), 8)
-                coords, scores, valid, overflow = jax.vmap(
-                    lambda hm: find_peaks(
-                        hm[..., :NUM_PARTS], self.keypoint_threshold,
-                        self.max_peaks,
-                    )
-                )(heat_up)
-
-            peaks = jnp.concatenate(
-                [
-                    coords.astype(jnp.float32),
-                    scores[..., None],
-                    valid[..., None].astype(jnp.float32),
-                    jnp.broadcast_to(
-                        overflow[..., None, None],
-                        coords.shape[:3] + (1,),
-                    ).astype(jnp.float32),
-                ],
-                axis=-1,
+            paf, peaks, _, _ = self._pose_front(
+                pose_params, frames_full, pose_h, pose_w, use_fused
             )
             return peaks, paf
 
@@ -773,14 +760,21 @@ class PerceptionPipeline:
 
     def _collect_adaptive_embed(self, plan, n):
         """Fetch the adaptive embed result and place it in the
-        (n, max_faces, 512) grid the fused path produces."""
-        grid = np.zeros((n, self.max_faces, 512), np.float32)
+        (n, max_faces, dim) grid the fused path produces."""
+        from terran_tpu.face.recognition import EMBEDDING_DIM
+
+        if plan is None:
+            return (
+                np.zeros((n, self.max_faces, EMBEDDING_DIM), np.float32),
+                np.zeros((n, self.max_faces), bool),
+            )
+        emb = np.asarray(plan)[:n]
+        k = emb.shape[1]
+        dim = emb.shape[-1] - 1  # packed as features + validity flag
+        grid = np.zeros((n, self.max_faces, dim), np.float32)
         grid_mask = np.zeros((n, self.max_faces), bool)
-        if plan is not None:
-            emb = np.asarray(plan)[:n]
-            k = emb.shape[1]
-            grid[:, :k] = emb[..., :512]
-            grid_mask[:, :k] = emb[..., 512] > 0.5
+        grid[:, :k] = emb[..., :dim]
+        grid_mask[:, :k] = emb[..., dim] > 0.5
         return grid, grid_mask
 
     def process_stream(self, batches, depth=None, prefetch=True):

@@ -109,3 +109,27 @@ def test_local_results_single_process_roundtrip():
     rep = jax.device_put(data, jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec()))
     np.testing.assert_array_equal(local_results(rep), data)
+
+
+def test_local_results_rejects_non_leading_sharding():
+    import jax
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from terran_tpu.parallel import create_mesh
+
+    mesh = create_mesh(4)
+    arr = jax.device_put(
+        np.arange(32, dtype=np.float32).reshape(2, 16),
+        NamedSharding(mesh, P(None, "data")),
+    )
+    with pytest.raises(NotImplementedError):
+        local_results(arr)
+
+
+def test_initialize_multi_host_strict_with_partial_args():
+    # Any explicit argument means the operator wants a cluster; a
+    # missing coordinator must raise, not silently run single-process.
+    import pytest
+
+    with pytest.raises(Exception):
+        initialize_multi_host(num_processes=2, process_id=1)

@@ -68,12 +68,12 @@ def tiny_pipeline_params():
     )
 
 
-def _make_pipeline(params, mesh=None):
+def _make_pipeline(params, mesh=None, **kwargs):
     det, rec, pose = params
     return PerceptionPipeline(
         det_params=det, rec_params=rec, pose_params=pose,
         det_short_side=64, pose_short_side=48, top_k=16, max_faces=4,
-        max_peaks=8, mesh=mesh,
+        max_peaks=8, mesh=mesh, **kwargs,
     )
 
 
@@ -175,9 +175,9 @@ def test_adaptive_embed_matches_fused(tiny_pipeline_params, rng):
     fused full-capacity path (host float64 vs on-device float32 Umeyama
     perturb the alignment in the last ulps, so tolerance not equality)."""
     adaptive = _make_pipeline(tiny_pipeline_params)
-    fused = _make_pipeline(tiny_pipeline_params)
-    fused.embed_dispatch = "fused"
+    fused = _make_pipeline(tiny_pipeline_params, embed_dispatch="fused")
     assert adaptive.embed_dispatch == "adaptive"
+    assert fused.embed_dispatch == "fused"
 
     frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
     out_a = adaptive.process_batch(frames)
@@ -233,10 +233,10 @@ def test_adaptive_limbs_match_fused(tiny_pipeline_params, rng):
     identical poses: pair scores are computed per pair from the same x8
     PAF, and every valid peak lives in the prefix slots the bucket keeps."""
     adaptive = _make_pipeline(tiny_pipeline_params)
-    fused = _make_pipeline(tiny_pipeline_params)
-    fused.limb_dispatch = "fused"
-    fused.embed_dispatch = "fused"
+    fused = _make_pipeline(tiny_pipeline_params, limb_dispatch="fused",
+                           embed_dispatch="fused")
     assert adaptive.limb_dispatch == "adaptive"
+    assert fused.limb_dispatch == "fused"
 
     frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
     out_a = adaptive.process_batch(frames)
@@ -267,3 +267,13 @@ def test_peak_bucket_selection(tiny_pipeline_params):
     assert pipe._select_peak_bucket(1) == 4
     assert pipe._select_peak_bucket(4) == 4
     assert pipe._select_peak_bucket(5) == 8
+
+
+def test_adaptive_with_mesh_raises(tiny_pipeline_params):
+    mesh = create_mesh(8)
+    with pytest.raises(ValueError, match="incompatible with a mesh"):
+        _make_pipeline(tiny_pipeline_params, mesh=mesh,
+                       embed_dispatch="adaptive")
+    with pytest.raises(ValueError, match="incompatible with a mesh"):
+        _make_pipeline(tiny_pipeline_params, mesh=mesh,
+                       limb_dispatch="adaptive")

@@ -80,3 +80,18 @@ def test_alignment_matrix_maps_template_to_landmarks(rng):
     back = (inv[:, :2] @ ARCFACE_TEMPLATE.T).T + inv[:, 2]
     np.testing.assert_allclose(back, landmarks, atol=1e-2)
 
+
+
+def test_warp_tiny_sources_match_pil(rng):
+    # Degenerate 1-pixel-wide/tall sources take the padded fallback; PIL
+    # itself accepts them, so parity must hold there too.
+    for shape in [(1, 7, 3), (9, 1, 3), (1, 1, 3)]:
+        image = rng.integers(0, 255, size=shape, dtype=np.uint8)
+        inv = np.linalg.inv(make_similarity(0.5, 0.3, 1.0, -0.5))[:2]
+        inv = inv.astype(np.float32)
+        pil = Image.fromarray(image).transform(
+            size=(6, 8), method=Image.AFFINE, data=inv.flatten(),
+            resample=Image.BILINEAR, fillcolor=0,
+        )
+        got = np.asarray(warp_affine(image, inv, out_h=8, out_w=6))
+        assert np.abs(got - np.asarray(pil).astype(np.float32)).max() <= 1.01

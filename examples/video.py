@@ -8,6 +8,10 @@ TPU-native take on the reference example
 - ``--workers N`` (N > 1) decodes the source with the multi-process
   segmented reader (``ParallelVideo``) so a single high-fps file doesn't
   bottleneck on one ffmpeg process.
+- ``--engine pipeline`` runs the software-pipelined fused path
+  (``PerceptionPipeline.process_stream``): on-device resize + decode +
+  NMS, batches dispatched ahead of the host stages — the highest-
+  throughput way to run detection-only over video on a TPU.
 - Rendering still happens in the writer thread (deferred render), so
   drawing overlaps the next batch's TPU inference.
 """
@@ -30,8 +34,13 @@ from terran_tpu.vis import vis_faces
 @click.option("--start-time", "-ss", default=None, type=str)
 @click.option("--workers", "-w", default=1, type=int,
               help="Decoder processes (>1 uses the segmented reader).")
+@click.option("--engine", type=click.Choice(["task", "pipeline"]),
+              default="task",
+              help="'task' = Detection API (host resize, reference "
+                   "semantics); 'pipeline' = fused on-device path with "
+                   "software-pipelined batches.")
 def find_video(video_path, output_path, threshold, batch_size, duration,
-               framerate, start_time, workers):
+               framerate, start_time, workers, engine):
     reader_options = dict(
         batch_size=batch_size,
         read_for=duration,
@@ -44,18 +53,46 @@ def find_video(video_path, output_path, threshold, batch_size, duration,
     else:
         video = open_video(video_path, **reader_options)
 
-    detect = Detection(threshold=threshold)
     writer = write_video(output_path, copy_format_from=video)
 
-    with click.progressbar(video, length=len(video)) as batches:
-        for frames in batches:
-            faces_per_frame = detect(frames)
-            for frame, faces in zip(frames, faces_per_frame):
-                # Deferred render: executed in the writer thread so drawing
-                # overlaps the next batch's inference.
-                writer.write_frame(vis_faces, frame, faces)
+    if engine == "pipeline":
+        from terran_tpu.pipeline import PerceptionPipeline
+
+        pipeline = PerceptionPipeline(
+            threshold=threshold, with_pose=False, with_embeddings=False,
+        )
+        with click.progressbar(length=len(video)) as bar:
+            for frames, out in _pipeline_stream(pipeline, video):
+                for frame, faces in zip(frames, pipeline.faces_from(out)):
+                    writer.write_frame(vis_faces, frame, faces)
+                bar.update(1)
+    else:
+        detect = Detection(threshold=threshold)
+        with click.progressbar(video, length=len(video)) as batches:
+            for frames in batches:
+                faces_per_frame = detect(frames)
+                for frame, faces in zip(frames, faces_per_frame):
+                    # Deferred render: executed in the writer thread so
+                    # drawing overlaps the next batch's inference.
+                    writer.write_frame(vis_faces, frame, faces)
 
     writer.close()
+
+
+def _pipeline_stream(pipeline, video):
+    """Yield (frames, results) with the device pipelined ahead: frames are
+    teed so each decoded batch is kept until its results arrive."""
+    from collections import deque
+
+    held = deque()
+
+    def feed():
+        for frames in video:
+            held.append(frames)
+            yield frames
+
+    for out in pipeline.process_stream(feed()):
+        yield held.popleft(), out
 
 
 if __name__ == "__main__":

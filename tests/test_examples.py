@@ -105,3 +105,45 @@ def test_video_example(stocked_store, tmp_path, monkeypatch, rng):
     assert result.exit_code == 0, result.output
     # Every frame was rendered and written.
     assert out_raw.stat().st_size == frames * 64 * 48 * 3
+
+
+def test_video_example_pipeline_engine(stocked_store, tmp_path, monkeypatch,
+                                       rng):
+    import video as video_example
+
+    frames = 6
+    probe = {
+        "streams": [{"codec_type": "video", "width": 64, "height": 48,
+                     "avg_frame_rate": "3/1", "duration": "2.0"}],
+        "format": {"duration": "2.0"},
+    }
+    monkeypatch.setattr(
+        "terran_tpu.io.video.reader.ffmpeg_probe", lambda p, **kw: probe
+    )
+    emit = (
+        "import sys\n"
+        f"data = bytes(range(256)) * (64 * 48 * 3 * {frames} // 256 + 1)\n"
+        f"sys.stdout.buffer.write(data[:64 * 48 * 3 * {frames}])\n"
+    )
+    monkeypatch.setattr(
+        "terran_tpu.io.video.reader.Video._prepare_ffmpeg_cmd",
+        lambda self: [sys.executable, "-c", emit],
+    )
+    out_raw = tmp_path / "sink.raw"
+    sink = (
+        "import sys, shutil\n"
+        f"shutil.copyfileobj(sys.stdin.buffer, open(r'{out_raw}', 'wb'))\n"
+    )
+    monkeypatch.setattr(
+        "terran_tpu.io.video.writer.VideoWriter._prepare_ffmpeg_cmd",
+        lambda self: [sys.executable, "-c", sink],
+    )
+
+    runner = CliRunner()
+    result = runner.invoke(
+        video_example.find_video,
+        [str(tmp_path / "in.mp4"), str(tmp_path / "out.mp4"),
+         "--batch-size", "3", "--engine", "pipeline"],
+    )
+    assert result.exit_code == 0, result.output
+    assert out_raw.stat().st_size == frames * 64 * 48 * 3

@@ -184,20 +184,36 @@ def measure_device_only(pipeline, frames, iters):
             import jax.numpy as jnp
             from device_time import synthetic_embed_packed
 
-            packed = jnp.asarray(synthetic_embed_packed(
-                frames.shape[0], pipeline.max_faces, full_h, full_w
-            ))
-            we = pipeline._warp_embed_fn(
-                pipeline.max_faces, frames_dev.shape
-            )
+            ws = next((w for w in pipeline.embed_windows
+                       if w <= min(full_h, full_w)), None)
+            if ws is not None:
+                packed = jnp.asarray(synthetic_embed_packed(
+                    frames.shape[0], pipeline.max_faces, full_h, full_w,
+                    window=ws,
+                ))
+                we = pipeline._warp_embed_window_fn(
+                    pipeline.max_faces, ws, frames_dev.shape
+                )
+            else:
+                packed = jnp.asarray(synthetic_embed_packed(
+                    frames.shape[0], pipeline.max_faces, full_h, full_w
+                )[..., :7])
+                we = pipeline._warp_embed_fn(
+                    pipeline.max_faces, frames_dev.shape
+                )
             stage_ms["embed"], _ = scan_time(
                 lambda rp, f, pk: we(rp, f, pk),
                 (pipeline.rec_params, frames_dev, packed),
                 perturb_index=1, iters=iters,
             )
             k_typ = (pipeline.embed_buckets or [pipeline.max_faces])[0]
-            we_t = pipeline._warp_embed_fn(k_typ, frames_dev.shape)
             packed_t = packed[:, :k_typ]
+            if ws is not None:
+                we_t = pipeline._warp_embed_window_fn(
+                    k_typ, ws, frames_dev.shape
+                )
+            else:
+                we_t = pipeline._warp_embed_fn(k_typ, frames_dev.shape)
             typical_ms["embed"], _ = scan_time(
                 lambda rp, f, pk: we_t(rp, f, pk),
                 (pipeline.rec_params, frames_dev, packed_t),

@@ -64,14 +64,18 @@ def scan_time(fn, args, *, perturb_index=0, iters=32, warm=True):
 
 
 def synthetic_embed_packed(batch, k_slots, height, width, face_px=64,
-                           seed=0):
-    """Full-occupancy adaptive-embed plan: (batch, k_slots, 7) f32 of
-    plausible in-frame faces (6 alignment-matrix entries + validity), for
-    worst-case warp+embed timing."""
+                           seed=0, window=None):
+    """Full-occupancy adaptive-embed plan: (batch, k_slots, 9) f32 of
+    plausible in-frame faces (6 alignment-matrix entries + validity +
+    window y, x), for worst-case warp+embed timing. Slice ``[..., :7]``
+    for the full-frame program; pass ``window`` to clip origins for the
+    windowed one."""
     from terran_tpu.ops.warp import ARCFACE_TEMPLATE, alignment_matrix
 
     rng = np.random.default_rng(seed)
-    packed = np.zeros((batch, k_slots, 7), np.float32)
+    corners = np.array([[0.5, 0.5], [111.5, 0.5], [0.5, 111.5],
+                        [111.5, 111.5]])
+    packed = np.zeros((batch, k_slots, 9), np.float32)
     for i in range(batch):
         for j in range(k_slots):
             scale = face_px / 112.0
@@ -85,8 +89,16 @@ def synthetic_embed_packed(batch, k_slots, height, width, face_px=64,
                 rng.uniform(0, max(1.0, height - face_px)),
             ])
             lmk = (ARCFACE_TEMPLATE - 56.0) @ rot.T + t + face_px / 2
-            packed[i, j, :6] = alignment_matrix(lmk).reshape(-1)
+            m = alignment_matrix(lmk)
+            packed[i, j, :6] = m.reshape(-1)
             packed[i, j, 6] = 1.0
+            src = corners @ m[:, :2].T + m[:, 2]
+            lo = np.floor(src.min(axis=0)) - 3
+            packed[i, j, 7] = lo[1]
+            packed[i, j, 8] = lo[0]
+    if window is not None:
+        packed[..., 7] = np.clip(packed[..., 7], 0, height - window)
+        packed[..., 8] = np.clip(packed[..., 8], 0, width - window)
     return packed
 
 
@@ -138,14 +150,26 @@ def main():
     print(f"# detect {detect_ms:.2f} ms", file=_sys.stderr, flush=True)
     if pipeline.embed_dispatch == "adaptive":
         # Worst case: every slot occupied -> the full-capacity bucket.
-        # Perturbing the (uint8, wrapping) frames keeps scan steps
-        # distinct without disturbing the plan's gather geometry.
+        # The ~64 px synthetic faces select the smallest window bucket,
+        # exactly as the pipeline would. Perturbing the (uint8, wrapping)
+        # frames keeps scan steps distinct without disturbing the plan's
+        # gather geometry.
         import jax.numpy as jnp
 
-        packed = jnp.asarray(synthetic_embed_packed(
-            batch, pipeline.max_faces, height, width
-        ))
-        we = pipeline._warp_embed_fn(pipeline.max_faces, fd.shape)
+        ws = next((w for w in pipeline.embed_windows
+                   if w <= min(height, width)), None)
+        if ws is not None:
+            packed = jnp.asarray(synthetic_embed_packed(
+                batch, pipeline.max_faces, height, width, window=ws
+            ))
+            we = pipeline._warp_embed_window_fn(
+                pipeline.max_faces, ws, fd.shape
+            )
+        else:
+            packed = jnp.asarray(synthetic_embed_packed(
+                batch, pipeline.max_faces, height, width
+            )[..., :7])
+            we = pipeline._warp_embed_fn(pipeline.max_faces, fd.shape)
         embed_ms, _ = scan_time(
             lambda p, f, pk: we(p, f, pk),
             (pipeline.rec_params, fd, packed), perturb_index=1,

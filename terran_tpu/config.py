@@ -62,6 +62,12 @@ class Config:
     # Comma-separated per-part peak-slot sizes for the adaptive limb
     # program; max_peaks_per_part is always the fallback bucket.
     pose_peak_buckets: str = "4,8"
+    # Comma-separated window sides for the adaptive warp's per-face source
+    # windows (the patch gather pays an operand-proportional cost, so
+    # gathering from face-sized windows beats the full frame). The batch's
+    # largest face picks the bucket; faces exceeding the largest window
+    # (or frames smaller than the smallest) fall back to full-frame warps.
+    pipeline_embed_windows: str = "256,512"
 
     # I/O buffering.
     reader_buffer_batches: int = 1

@@ -50,6 +50,7 @@ from terran_tpu.ops.pose_decode import (
 from terran_tpu.ops.upsample import upsample_bicubic
 from terran_tpu.ops.warp import (
     alignment_matrices_jax, alignment_matrix, warp_affine_batch,
+    warp_affine_windowed,
 )
 from terran_tpu.parallel.mesh import (
     batch_sharding, pad_batch_to_multiple, replicated_sharding,
@@ -164,6 +165,10 @@ class PerceptionPipeline:
         )
         self.embed_buckets = sorted(
             int(x) for x in str(cfg.pipeline_embed_buckets).split(",")
+            if str(x).strip()
+        )
+        self.embed_windows = sorted(
+            int(x) for x in str(cfg.pipeline_embed_windows).split(",")
             if str(x).strip()
         )
         self.limb_dispatch = _resolve_dispatch(
@@ -354,6 +359,54 @@ class PerceptionPipeline:
             return jnp.concatenate(
                 [feats, valid[..., None].astype(jnp.float32)], axis=-1
             )
+
+        fn = jax.jit(warp_embed)
+        self._warp_embed_fns[key] = fn
+        return fn
+
+    def _warp_embed_window_fn(self, k_slots, ws, frames_shape):
+        """Windowed variant of :meth:`_warp_embed_fn`: each face's crop is
+        gathered from a ``(ws, ws)`` window dynamic-sliced around its
+        source quad instead of the full frame (the patch gather pays an
+        operand-proportional cost — see ops/warp.py). The plan is one
+        (B, k, 9) upload: 6 matrix entries + validity + window (y, x).
+        """
+        key = (k_slots, ws) + tuple(frames_shape)
+        if key in self._warp_embed_fns:
+            return self._warp_embed_fns[key]
+
+        def warp_embed(rec_params, frames, packed):
+            b = frames.shape[0]
+            frame_h, frame_w = frames.shape[1:3]
+            mats = packed[..., :6].reshape(b * k_slots, 2, 3)
+            valid = (packed[..., 6] > 0.5).reshape(-1)
+            oyx = packed[..., 7:9].astype(jnp.int32)  # (B, k, 2)
+
+            def slice_one(img, o):
+                return jax.lax.dynamic_slice(
+                    img, (o[0], o[1], 0), (ws, ws, img.shape[2])
+                )
+
+            wins = jax.vmap(
+                jax.vmap(slice_one, in_axes=(None, 0))
+            )(frames, oyx)  # (B, k, ws, ws, C)
+            wflat = wins.reshape((b * k_slots,) + wins.shape[2:])
+            crops = jax.vmap(
+                lambda wdw, m, o: warp_affine_windowed(
+                    wdw, m, o, frame_h, frame_w
+                )
+            )(wflat, mats, oyx.reshape(-1, 2))
+            crops = jnp.round(crops)  # reference warps to uint8
+            feats = self.rec_model.apply(
+                {"params": rec_params},
+                crops.astype(self.rec_model.compute_dtype),
+            )
+            feats = normalize_embeddings(feats.astype(jnp.float32))
+            feats = jnp.where(valid[:, None], feats, 0.0)
+            packed_out = jnp.concatenate(
+                [feats, valid[:, None].astype(jnp.float32)], axis=-1
+            )
+            return packed_out.reshape(b, k_slots, -1)
 
         fn = jax.jit(warp_embed)
         self._warp_embed_fns[key] = fn
@@ -731,10 +784,15 @@ class PerceptionPipeline:
         busiest frame of this batch (the NMS outputs are score-sorted, so
         slots ``[:k]`` are exactly the faces the fused path would embed).
         Host Umeyama (float64, like the standalone Recognition API) fills
-        one (B, k, 7) upload: 6 matrix entries + validity. Returns the
-        in-flight device result, or None when no faces were found (no
-        program runs at all — the reference's empty-input (0, 512) case,
-        arcface/wrapper.py:159-164).
+        one packed upload: 6 matrix entries + validity (+ window origin
+        when the windowed program runs). When every face's source quad
+        fits a configured window bucket, crops are gathered from per-face
+        ``(ws, ws)`` windows instead of the full frames (the patch gather
+        pays an operand-proportional cost — ops/warp.py); oversized faces
+        or tiny frames fall back to the full-frame program, exactly.
+        Returns the in-flight device result, or None when no faces were
+        found (no program runs at all — the reference's empty-input
+        (0, 512) case, arcface/wrapper.py:159-164).
         """
         mask = out["mask"][:, :self.max_faces]
         lmks = out["landmarks"][:, :self.max_faces]
@@ -745,15 +803,39 @@ class PerceptionPipeline:
         if busiest == 0:
             return None
         k = self._select_embed_bucket(busiest, self.max_faces)
-        b = frames_dev.shape[0]
-        packed = np.zeros((b, k, 7), np.float32)
+        b, fh, fw = frames_dev.shape[:3]
+        packed = np.zeros((b, k, 9), np.float32)
+        # Output corner pixel centres; their source images bound every
+        # sample point (the map is affine), giving each face's window.
+        side = 112.0
+        corners = np.array([[0.5, 0.5], [side - 0.5, 0.5],
+                            [0.5, side - 0.5], [side - 0.5, side - 0.5]])
+        max_extent = 0.0
         for i, j in np.argwhere(mask[:, :k]):
-            packed[i, j, :6] = alignment_matrix(
-                lmks[i, j].astype(np.float32)
-            ).reshape(-1)
+            m = alignment_matrix(lmks[i, j].astype(np.float32))
+            packed[i, j, :6] = m.reshape(-1)
             packed[i, j, 6] = 1.0
-        fn = self._warp_embed_fn(k, frames_dev.shape)
-        emb = fn(self.rec_params, frames_dev, jnp.asarray(packed))
+            src = corners @ m[:, :2].T + m[:, 2]  # (4, 2) x, y
+            lo = np.floor(src.min(axis=0)) - 3
+            packed[i, j, 7] = lo[1]  # window y
+            packed[i, j, 8] = lo[0]  # window x
+            max_extent = max(
+                max_extent, float((src.max(0) - src.min(0)).max()) + 6
+            )
+        ws = next(
+            (w for w in self.embed_windows
+             if w >= max_extent and w <= min(fh, fw)),
+            None,
+        )
+        if ws is None:
+            fn = self._warp_embed_fn(k, frames_dev.shape)
+            emb = fn(self.rec_params, frames_dev,
+                     jnp.asarray(packed[..., :7]))
+        else:
+            packed[..., 7] = np.clip(packed[..., 7], 0, fh - ws)
+            packed[..., 8] = np.clip(packed[..., 8], 0, fw - ws)
+            fn = self._warp_embed_window_fn(k, ws, frames_dev.shape)
+            emb = fn(self.rec_params, frames_dev, jnp.asarray(packed))
         if hasattr(emb, "copy_to_host_async"):
             emb.copy_to_host_async()
         return emb

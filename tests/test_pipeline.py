@@ -277,3 +277,52 @@ def test_adaptive_with_mesh_raises(tiny_pipeline_params):
     with pytest.raises(ValueError, match="incompatible with a mesh"):
         _make_pipeline(tiny_pipeline_params, mesh=mesh,
                        limb_dispatch="adaptive")
+
+
+def test_windowed_embed_matches_full_frame(tiny_pipeline_params, rng):
+    """The per-face window program must produce bit-identical embeddings
+    to the full-frame program (same matrices, same taps)."""
+    pipe = _make_pipeline(tiny_pipeline_params)
+    frames = rng.integers(0, 255, (2, 300, 400, 3), dtype=np.uint8)
+    frames_dev = pipe.put_frames(frames)
+
+    # Synthetic detections: small in-frame faces (window bucket 128 fits).
+    lmks = np.zeros((2, pipe.max_faces, 5, 2), np.int32)
+    mask = np.zeros((2, pipe.max_faces), bool)
+    for i in range(2):
+        for j in range(2):
+            s = rng.uniform(0.4, 0.8)
+            t = rng.uniform(40, 150, size=2)
+            lmks[i, j] = np.round(ARCFACE_TEMPLATE * s + t).astype(np.int32)
+            mask[i, j] = True
+    out = {"mask": mask, "landmarks": lmks}
+
+    pipe.embed_windows = []
+    plan_full = pipe._dispatch_adaptive_embed(out, frames_dev, 2)
+    full_keys = set(pipe._warp_embed_fns)
+    pipe.embed_windows = [128]
+    plan_win = pipe._dispatch_adaptive_embed(out, frames_dev, 2)
+    win_keys = set(pipe._warp_embed_fns) - full_keys
+
+    assert all(len(k) == 5 for k in full_keys)       # (k, b, h, w, c)
+    assert any(len(k) == 6 for k in win_keys)        # (k, ws, b, h, w, c)
+    np.testing.assert_array_equal(
+        np.asarray(plan_win), np.asarray(plan_full)
+    )
+
+
+def test_windowed_embed_falls_back_for_oversized_faces(
+        tiny_pipeline_params, rng):
+    pipe = _make_pipeline(tiny_pipeline_params)
+    frames = rng.integers(0, 255, (1, 300, 400, 3), dtype=np.uint8)
+    frames_dev = pipe.put_frames(frames)
+    # One face whose source extent (~220 px) exceeds the 128 window.
+    lmks = np.zeros((1, pipe.max_faces, 5, 2), np.int32)
+    mask = np.zeros((1, pipe.max_faces), bool)
+    lmks[0, 0] = np.round(ARCFACE_TEMPLATE * 2.2 + 30).astype(np.int32)
+    mask[0, 0] = True
+    out = {"mask": mask, "landmarks": lmks}
+
+    pipe.embed_windows = [128]
+    pipe._dispatch_adaptive_embed(out, frames_dev, 1)
+    assert all(len(k) == 5 for k in pipe._warp_embed_fns)  # full-frame only

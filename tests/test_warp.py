@@ -95,3 +95,38 @@ def test_warp_tiny_sources_match_pil(rng):
         )
         got = np.asarray(warp_affine(image, inv, out_h=8, out_w=6))
         assert np.abs(got - np.asarray(pil).astype(np.float32)).max() <= 1.01
+
+
+def test_windowed_warp_bit_identical(rng):
+    from terran_tpu.ops.warp import warp_affine_windowed
+
+    H, W, ws = 200, 300, 128
+    image = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+    out_h = out_w = 40
+    cases = [
+        (0.5, 0.3, 60.0, 50.0),    # interior
+        (1.2, -0.8, 2.0, 1.0),     # near top-left (edge replication)
+        (0.7, 0.1, 250.0, 150.0),  # spills past the right/bottom edges
+        (1.0, 2.0, -20.0, -10.0),  # partially outside (fill)
+    ]
+    for scale, angle, tx, ty in cases:
+        inv = np.linalg.inv(make_similarity(scale, angle, tx, ty))[:2]
+        inv = inv.astype(np.float32)
+        ref = np.asarray(warp_affine(image, inv, out_h=out_h, out_w=out_w))
+
+        # Window placement exactly as the pipeline does it: source bbox of
+        # the output corner pixel centres, margin 2, clipped to the frame.
+        corners = np.array([[0.5, 0.5], [out_w - 0.5, 0.5],
+                            [0.5, out_h - 0.5], [out_w - 0.5, out_h - 0.5]])
+        src = corners @ inv[:, :2].T + inv[:, 2]
+        oy = int(np.clip(np.floor(src[:, 1].min()) - 2, 0, H - ws))
+        ox = int(np.clip(np.floor(src[:, 0].min()) - 2, 0, W - ws))
+        extent = (src.max(axis=0) - src.min(axis=0)) + 4
+        assert extent.max() <= ws, "test case must fit the window"
+
+        window = image[oy:oy + ws, ox:ox + ws]
+        got = np.asarray(warp_affine_windowed(
+            window, inv, np.array([oy, ox], np.int32), H, W,
+            out_h=out_h, out_w=out_w,
+        ))
+        np.testing.assert_array_equal(got, ref)

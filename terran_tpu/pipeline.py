@@ -572,6 +572,72 @@ class PerceptionPipeline:
     # Host orchestration
     # ------------------------------------------------------------------
 
+    def warmup(self, batch, height, width):
+        """Compile every program this pipeline can dispatch for the given
+        batch shape, ahead of time.
+
+        The adaptive paths trade one program for a small family of
+        bucketed ones, compiled lazily on first use — which in a serving
+        deployment means compile hiccups mid-stream the first time a
+        crowd (bigger face bucket) or a new peak count appears. Warmup
+        runs the full family once on dummy inputs (executing, not just
+        AOT-lowering — jit's dispatch cache only counts executions):
+        detection, every embed bucket at its applicable window sizes plus
+        full capacity, and (with pose) the forward+peaks program and
+        every limb bucket. Fused mode warms its two/three fixed programs.
+        Returns the number of programs warmed.
+        """
+        import jax
+
+        frames_shape = (batch, height, width, 3)
+        frames = self.put_frames(np.zeros(frames_shape, np.uint8))
+        count = 0
+
+        def run(jitted, *args):
+            nonlocal count
+            jax.block_until_ready(jitted(*args))
+            count += 1
+
+        run(self._perception_fn(height, width),
+            self.det_params, self.rec_params, frames)
+
+        if (self.with_embeddings and self.rec_params is not None
+                and self.embed_dispatch == "adaptive"):
+            ws_list = [w for w in self.embed_windows
+                       if w <= min(height, width)]
+            for k in sorted(set(self.embed_buckets) | {self.max_faces}):
+                if k > self.max_faces:
+                    continue
+                for ws in ws_list:
+                    run(
+                        self._warp_embed_window_fn(k, ws, frames_shape),
+                        self.rec_params, frames,
+                        jnp.zeros((batch, k, 9), jnp.float32),
+                    )
+                run(
+                    self._warp_embed_fn(k, frames_shape),
+                    self.rec_params, frames,
+                    jnp.zeros((batch, k, 7), jnp.float32),
+                )
+
+        if self.with_pose and self.pose_params is not None:
+            if self.limb_dispatch == "adaptive":
+                pd = self._pose_detect_fn(height, width)
+                run(pd, self.pose_params, frames)
+                _, paf = pd(self.pose_params, frames)
+                for kb in sorted(set(self.peak_buckets) | {self.max_peaks}):
+                    if kb > self.max_peaks:
+                        continue
+                    run(
+                        self._limb_fn(kb, paf.shape),
+                        paf,
+                        jnp.zeros((batch, NUM_PARTS, kb, 3), jnp.float32),
+                    )
+            else:
+                run(self._pose_fn(height, width),
+                    self.pose_params, frames)
+        return count
+
     def put_frames(self, frames):
         """Single host->HBM upload of a frame batch (sharded under a
         mesh). Accepts arrays already on device unchanged."""

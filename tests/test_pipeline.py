@@ -326,3 +326,24 @@ def test_windowed_embed_falls_back_for_oversized_faces(
     pipe.embed_windows = [128]
     pipe._dispatch_adaptive_embed(out, frames_dev, 1)
     assert all(len(k) == 5 for k in pipe._warp_embed_fns)  # full-frame only
+
+
+def test_warmup_compiles_program_family(tiny_pipeline_params):
+    pipe = _make_pipeline(tiny_pipeline_params)
+    pipe.embed_buckets = [2]
+    pipe.peak_buckets = [4]
+    pipe.embed_windows = [64]
+    n = pipe.warmup(batch=2, height=96, width=128)
+    # detection + embed (k=2, k=4=max_faces) x (window 64 + full-frame)
+    # + pose detect + limbs (kb=4, kb=8=max_peaks)
+    assert n == 1 + 2 * 2 + 1 + 2
+    # Subsequent batches find every program already cached.
+    step_keys = set(pipe._step_fns)
+    we_keys = set(pipe._warp_embed_fns)
+    limb_keys = set(pipe._limb_fns)
+    frames = np.zeros((2, 96, 128, 3), np.uint8)
+    out = pipe.process_batch(frames)
+    assert set(pipe._step_fns) == step_keys
+    assert set(pipe._warp_embed_fns) == we_keys
+    assert set(pipe._limb_fns) == limb_keys
+    assert out["embeddings"].shape == (2, 4, 512)

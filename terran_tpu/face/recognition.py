@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from terran_tpu.checkpoint import get_class_for_checkpoint, load_checkpoint_params
 from terran_tpu.config import get_config
 from terran_tpu.models.arcface import FaceResNet100, normalize_embeddings
-from terran_tpu.ops.warp import alignment_matrix, warp_affine_batch
+from terran_tpu.ops.warp import alignment_matrices, warp_affine_batch
 from terran_tpu.runtime import default_policy
 
 TASK_NAME = "face-recognition"
@@ -105,10 +105,10 @@ class ArcFaceRecognizer:
     def _alignment_mats(self, faces):
         """(K, 2, 3) alignment matrices for one image's faces, padded to a
         power-of-two face count so jitted programs are reused."""
-        mats = np.stack([
-            alignment_matrix(np.asarray(face["landmarks"], dtype=np.float32))
+        mats = alignment_matrices(np.stack([
+            np.asarray(face["landmarks"], dtype=np.float32)
             for face in faces
-        ])
+        ]))
         k = mats.shape[0]
         kb = _next_pow2(k)
         if kb != k:

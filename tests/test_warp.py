@@ -130,3 +130,26 @@ def test_windowed_warp_bit_identical(rng):
             out_h=out_h, out_w=out_w,
         ))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_alignment_matrices_batched_matches_scalar(rng):
+    from terran_tpu.ops.warp import alignment_matrices
+
+    lmks = []
+    for _ in range(20):
+        s = rng.uniform(0.2, 3.0)
+        theta = rng.uniform(-1.5, 1.5)
+        rot = np.array([[np.cos(theta), -np.sin(theta)],
+                        [np.sin(theta), np.cos(theta)]]) * s
+        t = rng.uniform(-50, 400, size=2)
+        lmk = (ARCFACE_TEMPLATE - 56.0) @ rot.T + t
+        lmks.append(np.round(lmk))  # int-rounded like real landmarks
+    # Degenerate case the rank guard covers: collinear points.
+    lmks.append(np.stack([np.arange(5), np.arange(5)], axis=1) * 10.0)
+    lmks = np.stack(lmks).astype(np.float32)
+
+    batched = alignment_matrices(lmks)
+    for i in range(len(lmks)):
+        np.testing.assert_array_equal(
+            batched[i], alignment_matrix(lmks[i])
+        )

@@ -206,7 +206,7 @@ def measure_device_only(pipeline, frames, iters):
                 (pipeline.rec_params, frames_dev, packed),
                 perturb_index=1, iters=iters,
             )
-            k_typ = (pipeline.embed_buckets or [pipeline.max_faces])[0]
+            k_typ = pipeline._select_embed_bucket(1, pipeline.max_faces)
             packed_t = packed[:, :k_typ]
             if ws is not None:
                 we_t = pipeline._warp_embed_window_fn(
@@ -252,7 +252,7 @@ def measure_device_only(pipeline, frames, iters):
                 iters=iters,
             )
             stage_ms["pose"] = p1_ms + limb_ms
-            kb_typ = (pipeline.peak_buckets or [pipeline.max_peaks])[0]
+            kb_typ = pipeline._select_peak_bucket(1)
             limb_t = pipeline._limb_fn(kb_typ, paf.shape)
             cv_t = cv[:, :, :kb_typ]
             limb_t_ms, _ = scan_time(

@@ -164,15 +164,14 @@ def warp_affine(image, matrix, out_h=112, out_w=112):
     """
     h, w = image.shape[0], image.shape[1]
     if h < 2 or w < 2:
-        # Edge-pad up to 2x2 so the patch window fits; per-tap clamping is
-        # then the old padded-origin formulation. The pad is at most a few
-        # pixels — the operand-copy cost this function avoids for real
-        # images is irrelevant here.
+        # Edge-pad up to 2x2 so the patch window fits; the trailing edge
+        # replicas make the core's over-fetch correct. The pad is at most
+        # a few pixels — the operand-copy cost this function avoids for
+        # real images is irrelevant here.
         image = jnp.pad(
             image, ((0, max(0, 2 - h)), (0, max(0, 2 - w)), (0, 0)),
             mode="edge",
         )
-        return _warp_affine_core(image, matrix, out_h, out_w, h, w)
     return _warp_affine_core(image, matrix, out_h, out_w, h, w)
 
 

@@ -589,17 +589,35 @@ class PerceptionPipeline:
         """
         import jax
 
+        if self.mesh is not None and batch % self.mesh.size:
+            # dispatch_batch pads partial batches up to the mesh size, so
+            # warm the shapes it actually runs.
+            batch += self.mesh.size - batch % self.mesh.size
         frames_shape = (batch, height, width, 3)
         frames = self.put_frames(np.zeros(frames_shape, np.uint8))
         count = 0
 
         def run(jitted, *args):
             nonlocal count
-            jax.block_until_ready(jitted(*args))
+            out = jax.block_until_ready(jitted(*args))
             count += 1
+            return out
 
         run(self._perception_fn(height, width),
             self.det_params, self.rec_params, frames)
+
+        if (self.with_embeddings and self.rec_params is not None
+                and self.embed_dispatch == "fused"):
+            crops = jnp.zeros(
+                (batch, self.max_faces, 112, 112, 3), jnp.float32
+            )
+            emb_mask = jnp.zeros((batch, self.max_faces), bool)
+            if self.mesh is not None:
+                crops = jax.device_put(crops, batch_sharding(self.mesh))
+                emb_mask = jax.device_put(
+                    emb_mask, batch_sharding(self.mesh)
+                )
+            run(self._embed_fn(), self.rec_params, crops, emb_mask)
 
         if (self.with_embeddings and self.rec_params is not None
                 and self.embed_dispatch == "adaptive"):
@@ -623,8 +641,7 @@ class PerceptionPipeline:
         if self.with_pose and self.pose_params is not None:
             if self.limb_dispatch == "adaptive":
                 pd = self._pose_detect_fn(height, width)
-                run(pd, self.pose_params, frames)
-                _, paf = pd(self.pose_params, frames)
+                _, paf = run(pd, self.pose_params, frames)
                 for kb in sorted(set(self.peak_buckets) | {self.max_peaks}):
                     if kb > self.max_peaks:
                         continue

@@ -347,3 +347,16 @@ def test_warmup_compiles_program_family(tiny_pipeline_params):
     assert set(pipe._warp_embed_fns) == we_keys
     assert set(pipe._limb_fns) == limb_keys
     assert out["embeddings"].shape == (2, 4, 512)
+
+
+def test_warmup_fused_and_mesh(tiny_pipeline_params):
+    mesh = create_mesh(8)
+    pipe = _make_pipeline(tiny_pipeline_params, mesh=mesh)
+    # Non-divisible batch: warmup must pad like dispatch_batch does.
+    n = pipe.warmup(batch=6, height=96, width=128)
+    assert n == 3  # perception (with fused warp), embed, pose
+    step_keys = set(pipe._step_fns)
+    frames = np.zeros((6, 96, 128, 3), np.uint8)
+    out = pipe.process_batch(frames)
+    assert set(pipe._step_fns) == step_keys
+    assert out["embeddings"].shape == (6, 4, 512)

@@ -124,15 +124,10 @@ def measure_link(frames):
     """Host->device bandwidth and small-result round-trip latency."""
     import jax
 
-    bump = jax.jit(lambda x: x + 1)
-    probe = np.zeros((8,), np.float32)
-    np.asarray(bump(probe))  # compile
-    trips = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        np.asarray(bump(probe))
-        trips.append(time.perf_counter() - t0)
-    roundtrip_ms = 1000 * statistics.median(trips)
+    sys.path.insert(0, str(Path(__file__).parent / "benchmarks"))
+    from device_time import scalar_roundtrip_ms
+
+    roundtrip_ms = scalar_roundtrip_ms()
 
     uploads = []
     for _ in range(3):

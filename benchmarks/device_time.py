@@ -63,6 +63,24 @@ def scan_time(fn, args, *, perturb_index=0, iters=32, warm=True):
     return elapsed / iters * 1000.0, val
 
 
+def scalar_roundtrip_ms(iters=7):
+    """Median wall time of a tiny jitted bump + value fetch — the pure
+    dispatch/transfer round trip that floors every batch-1 latency.
+    Shared by bench.py (link context) and benchmarks/run_all.py (config
+    0) so their 'round trip' numbers measure the same thing."""
+    import jax
+
+    bump = jax.jit(lambda x: x + 1)
+    probe = np.zeros((8,), np.float32)
+    np.asarray(bump(probe))  # compile
+    trips = []
+    for _ in range(max(iters, 3)):
+        t0 = time.perf_counter()
+        np.asarray(bump(probe))
+        trips.append(time.perf_counter() - t0)
+    return float(np.median(trips) * 1000.0)
+
+
 def synthetic_embed_packed(batch, k_slots, height, width, face_px=64,
                            seed=0, window=None):
     """Full-occupancy adaptive-embed plan: (batch, k_slots, 9) f32 of

@@ -47,23 +47,21 @@ def bench_roundtrip_floor(params, iters):
     """
     import jax
 
+    from device_time import scalar_roundtrip_ms
+
     rng = np.random.default_rng(0)
     image = rng.integers(0, 255, (1, 208, 277, 3), dtype=np.uint8)
-    probe = np.zeros((8,), np.float32)
-    bump = jax.jit(lambda x: x + 1)
     ident = jax.jit(lambda x: x[:, :1, :1, 0])
 
-    np.asarray(bump(probe)), np.asarray(ident(image))  # compile
-    scalar, inp = [], []
+    scalar_ms = scalar_roundtrip_ms(iters=max(iters * 2, 10))
+    np.asarray(ident(image))  # compile
+    inp = []
     for _ in range(max(iters * 2, 10)):
-        t0 = time.perf_counter()
-        np.asarray(bump(probe))
-        scalar.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(ident(image))
         inp.append(time.perf_counter() - t0)
     return {"metric": "link round-trip floor (scalar / config-1 input)",
-            "value": round(_p50(scalar), 2), "unit": "ms",
+            "value": round(scalar_ms, 2), "unit": "ms",
             "input_floor_ms": round(_p50(inp), 2)}
 
 

@@ -65,7 +65,13 @@ class RetinaFaceDetector:
         dtype = compute_dtype or default_policy().compute_dtype
         self.model = RetinaFaceModel(compute_dtype=dtype)
         self._detect_fns = {}
-        self._pad_buffers = {}
+        # Per-thread pad buffers: reuse avoids a fresh ~n*bh*bw*3
+        # allocation per call, and thread-locality keeps concurrent
+        # same-shape calls (per-stream worker threads) from racing on one
+        # mutable buffer.
+        import threading
+
+        self._pad_local = threading.local()
 
     def _detect_fn(self, height, width):
         key = (height, width)
@@ -105,10 +111,13 @@ class RetinaFaceDetector:
         if (bh, bw) != (h, w):
             # Reuse one pad buffer per padded shape instead of allocating
             # ~n*bh*bw*3 bytes per call (batch-1 latency, VERDICT r1 #7).
-            padded = self._pad_buffers.get((n, bh, bw))
+            buffers = getattr(self._pad_local, "buffers", None)
+            if buffers is None:
+                buffers = self._pad_local.buffers = {}
+            padded = buffers.get((n, bh, bw))
             if padded is None or padded.dtype != images.dtype:
                 padded = np.zeros((n, bh, bw, 3), dtype=images.dtype)
-                self._pad_buffers[(n, bh, bw)] = padded
+                buffers[(n, bh, bw)] = padded
             padded[:, :h, :w] = images
             padded[:, h:, :] = 0
             padded[:, :h, w:] = 0

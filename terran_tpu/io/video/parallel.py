@@ -270,8 +270,19 @@ class ParallelVideo:
             if queue is None:  # closed while waiting
                 raise EndOfVideo
 
-            item = queue.get()
+            while True:
+                try:
+                    item = queue.get(timeout=0.5)
+                    break
+                except QueueEmpty:
+                    if self._stop.is_set():
+                        raise EndOfVideo
             if isinstance(item, Exception):
+                # Decode errors are terminal, like the single-process
+                # reader's: the failed segment has no further producer, so
+                # a retrying caller would otherwise block forever on its
+                # queue. close() lets every worker wind down.
+                self.close()
                 raise item
             if item is None:
                 # Segment exhausted: advance and let workers claim further.

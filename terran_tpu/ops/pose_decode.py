@@ -44,6 +44,8 @@ LIMBSEQ = np.array([
 assert (MAP_IDX[:, 1] == MAP_IDX[:, 0] + 1).all()
 
 NUM_PARTS = 18
+# Largest field for the flat channel-minor gather index (int32 safety).
+_FLAT_INDEX_LIMIT = 2 ** 31
 NUM_LIMBS = 19
 NUM_MIDPOINTS = 10
 
@@ -163,8 +165,10 @@ def limb_scores(pafs, coords, valid, thresh_midpoint):
     pafs: (H, W, 38) — the UPSAMPLED field; coords: (P, K, 2) int (y, x);
     valid: (P, K). Returns (reg_scores (L, K, K), accept (L, K, K) bool)
     where ``accept`` combines the reference's two criteria and slot
-    validity. Production paths use :func:`limb_scores_sampled`, which
-    never materialises the upsampled field.
+    validity. This dense-field form is the production path; the
+    point-sampled :func:`limb_scores_sampled` avoids materialising the
+    upsampled field but measured ~3x slower on TPU and is kept as the
+    upsample's cross-check.
     """
     h, w, c = pafs.shape
     k = coords.shape[1]
@@ -177,21 +181,43 @@ def limb_scores(pafs, coords, valid, thresh_midpoint):
     # sample point are ONE 2-element gather from the channel-minor layout —
     # half the gather descriptors of separate x/y lookups (TPU gathers are
     # per-descriptor-bound; measured on v5e this halves limb-sampling time).
-    # Values are identical to the two-gather form.
-    flat = pafs.reshape(-1)  # (H*W*C,) channel-minor
-    base = (seg_y * w + seg_x) * c  # (L, K, K, M)
-    starts = (
-        base + jnp.asarray(MAP_IDX[:, 0])[:, None, None, None]
-    ).reshape(-1, 1)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-    )
+    # Values are identical to the two-gather form. The fully-flattened
+    # (pos * C + channel) index overflows int32 for upsampled fields past
+    # ~56 M pixels (short_side >= ~736 at 16:9), which PROMISE_IN_BOUNDS
+    # would turn into silent garbage — such fields (static shapes, known
+    # at trace time) use a 2-component descriptor instead (measured
+    # equal-or-faster at small K but ~1.3x slower at K=16, so the flat
+    # form stays the common case).
     # In bounds by construction: seg_* are clipped into the field and
     # channel + 2 <= C for every MAP_IDX pair.
-    vals = jax.lax.gather(
-        flat, starts, dn, slice_sizes=(2,),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )
+    if h * w * c < _FLAT_INDEX_LIMIT:
+        flat = pafs.reshape(-1)  # (H*W*C,) channel-minor
+        base = (seg_y * w + seg_x) * c  # (L, K, K, M)
+        starts = (
+            base + jnp.asarray(MAP_IDX[:, 0])[:, None, None, None]
+        ).reshape(-1, 1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        )
+        vals = jax.lax.gather(
+            flat, starts, dn, slice_sizes=(2,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+    else:
+        grid = pafs.reshape(-1, c)  # (H*W, C) channel-minor
+        pos = (seg_y * w + seg_x)  # (L, K, K, M)
+        ch = jnp.broadcast_to(
+            jnp.asarray(MAP_IDX[:, 0])[:, None, None, None], pos.shape
+        )
+        starts = jnp.stack([pos.reshape(-1), ch.reshape(-1)], axis=-1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        )
+        vals = jax.lax.gather(
+            grid, starts, dn, slice_sizes=(1, 2),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )[:, 0]
     px = vals[:, 0].reshape(NUM_LIMBS, k, k, NUM_MIDPOINTS)
     py = vals[:, 1].reshape(NUM_LIMBS, k, k, NUM_MIDPOINTS)
 
@@ -232,6 +258,55 @@ def limb_scores_sampled(pafs_small, factor, coords, valid, thresh_midpoint):
     )
 
 
+def forward_and_find_peaks(model, params, images, keypoint_threshold,
+                           max_peaks, use_fused, factor=8):
+    """Traced front half shared by ``pipeline`` and
+    :func:`make_pose_decode`: normalise + CPM forward + fixed-K peak
+    finding. ``images`` are already at the network input resolution.
+    Returns (paf x1 float32, coords, scores, valid, overflow).
+    """
+    x = images.astype(jnp.float32) / 255.0 - 0.5
+    paf, heat = model.apply(
+        {"params": params}, x.astype(model.compute_dtype)
+    )
+    paf = paf.astype(jnp.float32)
+
+    if use_fused:
+        from terran_tpu.ops.fused_peaks import find_peaks_fused
+
+        coords, scores, valid, overflow = find_peaks_fused(
+            heat.astype(jnp.float32)[..., :NUM_PARTS],
+            keypoint_threshold, max_peaks, factor=factor,
+        )
+    else:
+        from terran_tpu.ops.upsample import upsample_bicubic
+
+        heat_up = upsample_bicubic(heat.astype(jnp.float32), factor)
+        coords, scores, valid, overflow = jax.vmap(
+            lambda hm: find_peaks(
+                hm[..., :NUM_PARTS], keypoint_threshold, max_peaks
+            )
+        )(heat_up)
+    return paf, coords, scores, valid, overflow
+
+
+def pack_peaks(coords, scores, valid, overflow):
+    """Pack peak outputs as (..., P, K, 5) = (y, x, score, valid,
+    part_overflow broadcast along K) — the layout
+    :func:`unpack_pose_outputs` consumes."""
+    return jnp.concatenate(
+        [
+            coords.astype(jnp.float32),
+            scores[..., None],
+            valid[..., None].astype(jnp.float32),
+            jnp.broadcast_to(
+                overflow[..., None, None], coords.shape[:-1] + (1,)
+            ).astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
 def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
                      thresh_midpoint=0.05, max_peaks=32,
                      downsampling_ratio=8, use_fused_peaks=None):
@@ -247,9 +322,7 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
     at x8 (dense phase-FIR beats point-sampling the Keys filter on TPU —
     see the measurement note in terran_tpu/pipeline.py::_pose_fn).
     """
-    from terran_tpu.ops.fused_peaks import (
-        find_peaks_fused, fused_peaks_enabled,
-    )
+    from terran_tpu.ops.fused_peaks import fused_peaks_enabled
     from terran_tpu.ops.upsample import upsample_bicubic
 
     if use_fused_peaks is None:
@@ -257,44 +330,20 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
 
     @jax.jit
     def decode(params, images):
-        x = images.astype(jnp.float32) / 255.0 - 0.5
-        paf, heat = model.apply({"params": params}, x.astype(model.compute_dtype))
-        paf = upsample_bicubic(paf.astype(jnp.float32), downsampling_ratio)
-
-        if use_fused_peaks:
-            coords, scores, valid, overflow = find_peaks_fused(
-                heat.astype(jnp.float32)[..., :NUM_PARTS],
-                keypoint_threshold, max_peaks, factor=downsampling_ratio,
-            )
-        else:
-            heat_up = upsample_bicubic(
-                heat.astype(jnp.float32), downsampling_ratio
-            )
-            coords, scores, valid, overflow = jax.vmap(
-                lambda hm: find_peaks(
-                    hm[..., :NUM_PARTS], keypoint_threshold, max_peaks
-                )
-            )(heat_up)
+        paf, coords, scores, valid, overflow = forward_and_find_peaks(
+            model, params, images, keypoint_threshold, max_peaks,
+            use_fused_peaks, factor=downsampling_ratio,
+        )
+        paf = upsample_bicubic(paf, downsampling_ratio)
 
         reg, accept = jax.vmap(
             lambda paf_i, c, v: limb_scores(paf_i, c, v, thresh_midpoint)
         )(paf, coords, valid)
 
         # Two packed arrays -> two d2h transfers (round trips through
-        # tunneled runtimes cost ~25 ms each): peaks (N, P, K, 5) holds
-        # (y, x, score, valid, part_overflow — broadcast along K);
-        # limbs (N, L, K, K, 2) holds (reg, accept).
-        peaks = jnp.concatenate(
-            [
-                coords.astype(jnp.float32),
-                scores[..., None],
-                valid[..., None].astype(jnp.float32),
-                jnp.broadcast_to(
-                    overflow[..., None, None], coords.shape[:3] + (1,)
-                ).astype(jnp.float32),
-            ],
-            axis=-1,
-        )
+        # tunneled runtimes cost ~25 ms each): peaks (N, P, K, 5) and
+        # limbs (N, L, K, K, 2) = (reg, accept).
+        peaks = pack_peaks(coords, scores, valid, overflow)
         limbs = jnp.stack([reg, accept.astype(jnp.float32)], axis=-1)
         return peaks, limbs
 

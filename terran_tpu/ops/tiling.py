@@ -104,15 +104,21 @@ class TiledDetector:
         self.overlap = overlap
         self.top_k = top_k
         self.nms_threshold = nms_threshold
-        if tile % 32:
-            raise ValueError("tile must be a multiple of 32 (the detector's "
-                             "coarsest stride) so tile batches skip padding")
-        # Device-side tile extraction needs the detector to accept device
-        # batches; default on (falls back automatically for detectors
-        # without the capability).
+        # The tile must be a shape the detector runs unpadded: a multiple
+        # of 32 (the coarsest anchor stride) in 'exact' bucketing, and of
+        # the 64 px bucket granularity in 'pad' mode — device-extracted
+        # tiles reach detector.call as device arrays, which cannot be
+        # host-padded to a bucket after the fact.
+        multiple = 64 if getattr(detector, "bucketing", "exact") == "pad" \
+            else 32
+        if tile % multiple:
+            raise ValueError(
+                f"tile must be a multiple of {multiple} for a detector "
+                f"with bucketing={getattr(detector, 'bucketing', 'exact')!r} "
+                "so tile batches skip padding"
+            )
         self.device_tiles = (
-            device_tiles if device_tiles is not None
-            else hasattr(detector, "call")
+            device_tiles if device_tiles is not None else True
         )
 
     def __call__(self, image, threshold=0.5):

@@ -43,9 +43,9 @@ from terran_tpu.models.retinaface import (
 )
 from terran_tpu.ops.nms import nms_fixed
 from terran_tpu.ops.resize import resize_bilinear, resized_shape
-from terran_tpu.ops.fused_peaks import find_peaks_fused, fused_peaks_enabled
+from terran_tpu.ops.fused_peaks import fused_peaks_enabled
 from terran_tpu.ops.pose_decode import (
-    NUM_LIMBS, NUM_PARTS, find_peaks, limb_scores,
+    NUM_LIMBS, NUM_PARTS, forward_and_find_peaks, limb_scores, pack_peaks,
 )
 from terran_tpu.ops.upsample import upsample_bicubic
 from terran_tpu.ops.warp import (
@@ -470,45 +470,18 @@ class PerceptionPipeline:
         frames_pose = jnp.round(
             resize_bilinear(frames_full, pose_h, pose_w)
         )
-        x = frames_pose.astype(jnp.float32) / 255.0 - 0.5
-        paf, heat = self.pose_model.apply(
-            {"params": pose_params},
-            x.astype(self.pose_model.compute_dtype),
+        # Shared with the standalone decode (ops/pose_decode.py). With
+        # ``use_fused`` the heatmaps never materialise at x8: the Pallas
+        # kernel (ops/fused_peaks.py) scans the phase images in VMEM and
+        # emits only the peak tables — besides the HBM traffic, this
+        # removes the XLA path's top_k over ~4M elements x 18 parts per
+        # image, whose padding can expand to several GB of HBM.
+        paf, coords, scores, valid, overflow = forward_and_find_peaks(
+            self.pose_model, pose_params, frames_pose,
+            self.keypoint_threshold, self.max_peaks, use_fused,
         )
-        paf = paf.astype(jnp.float32)
-
-        if use_fused:
-            # Heatmaps never materialise at x8: the fused Pallas kernel
-            # (ops/fused_peaks.py) scans the phase images in VMEM and
-            # emits only the peak tables. Besides the HBM traffic, this
-            # removes the XLA path's top_k over ~4M elements x 18 parts
-            # per image, whose padding can expand to several GB of HBM.
-            coords, scores, valid, overflow = find_peaks_fused(
-                heat.astype(jnp.float32)[..., :NUM_PARTS],
-                self.keypoint_threshold, self.max_peaks,
-            )
-        else:
-            heat_up = upsample_bicubic(heat.astype(jnp.float32), 8)
-            coords, scores, valid, overflow = jax.vmap(
-                lambda hm: find_peaks(
-                    hm[..., :NUM_PARTS], self.keypoint_threshold,
-                    self.max_peaks,
-                )
-            )(heat_up)
-
-        peaks = jnp.concatenate(
-            [
-                coords.astype(jnp.float32),
-                scores[..., None],
-                valid[..., None].astype(jnp.float32),
-                jnp.broadcast_to(
-                    overflow[..., None, None],
-                    coords.shape[:3] + (1,),
-                ).astype(jnp.float32),
-            ],
-            axis=-1,
-        )
-        return paf, peaks, coords, valid
+        return paf, pack_peaks(coords, scores, valid, overflow), coords, \
+            valid
 
     def _pose_detect_fn(self, full_h, full_w):
         """First half of the adaptive pose path: forward + peak finding.
@@ -754,13 +727,15 @@ class PerceptionPipeline:
         # Detection results first: the adaptive embed dispatch below needs
         # the host-side face count and landmarks (their transfer was
         # already started by copy_to_host_async at dispatch time).
+        from terran_tpu.models.retinaface import unpack_detections
+
         det = np.asarray(out.pop("det_packed"))[:n]
-        k = det.shape[1]
-        out["boxes"] = det[..., :4].astype(np.int32)
-        out["landmarks"] = det[..., 4:14].reshape(n, k, 5, 2).astype(np.int32)
-        out["scores"] = det[..., 14].astype(np.float32)
-        out["mask"] = det[..., 15] > 0.5
-        out["det_overflow"] = det[..., 0, 16] > 0.5
+        boxes, landmarks, scores, mask, overflow = unpack_detections(det)
+        out["boxes"] = boxes.astype(np.int32)
+        out["landmarks"] = landmarks.astype(np.int32)
+        out["scores"] = scores.astype(np.float32)
+        out["mask"] = mask
+        out["det_overflow"] = overflow
 
         emb_plan = None
         if frames_dev is not None:

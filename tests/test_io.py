@@ -161,8 +161,11 @@ def test_writer_surfaces_encode_errors(tmp_path, monkeypatch):
     monkeypatch.setattr(
         writer, "_prepare_ffmpeg_cmd", lambda: ["/nonexistent-binary-xyz"]
     )
-    writer.write_frame(np.zeros((4, 4, 3), np.uint8))
+    # The encode failure surfaces at write_frame (dead-thread poll) or at
+    # close, depending on how fast the writer thread dies — either is the
+    # error-propagation contract under test.
     with pytest.raises(Exception):
+        writer.write_frame(np.zeros((4, 4, 3), np.uint8))
         writer.close()
 
 

@@ -96,6 +96,13 @@ def test_worker_exception_propagates_in_order(monkeypatch):
             values.extend(batch[:, 0, 0, 0].tolist())
     # Everything before the failing segment arrived intact and in order.
     assert values == [k % 256 for k in range(20)]
+    # Decode errors are terminal: a retrying caller gets a clean
+    # end-of-stream instead of blocking forever on the dead segment's
+    # queue (the failed segment has no further producer).
+    from terran_tpu.io.video import EndOfVideo
+
+    with pytest.raises(EndOfVideo):
+        video.read_frames()
 
 
 def test_close_mid_stream_joins_workers(monkeypatch):

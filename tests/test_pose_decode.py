@@ -266,3 +266,22 @@ def test_get_keypoints_scale_truncation():
     # x = 21/2 -> 10 (truncation, reference wrapper.py:78-80), y = 10/2 = 5.
     np.testing.assert_array_equal(dets[0]["keypoints"][0], [10, 5, 1])
     assert dets[0]["score"] == 0.5
+
+
+def test_limb_scores_wide_index_branch_matches(monkeypatch, rng):
+    """Fields too large for a flat int32 gather index take a 2-component
+    descriptor; both formulations must score identically."""
+    import terran_tpu.ops.pose_decode as pd
+
+    h, w = 48, 64
+    pafs = rng.normal(size=(h, w, 38)).astype(np.float32)
+    coords = np.stack([
+        rng.integers(0, h, (18, 4)), rng.integers(0, w, (18, 4))
+    ], axis=-1).astype(np.int32)
+    valid = rng.random((18, 4)) < 0.7
+
+    reg_a, acc_a = pd.limb_scores(pafs, coords, valid, 0.05)
+    monkeypatch.setattr(pd, "_FLAT_INDEX_LIMIT", 0)  # force the wide branch
+    reg_b, acc_b = pd.limb_scores(pafs, coords, valid, 0.05)
+    np.testing.assert_array_equal(np.asarray(reg_a), np.asarray(reg_b))
+    np.testing.assert_array_equal(np.asarray(acc_a), np.asarray(acc_b))

@@ -109,3 +109,16 @@ def test_multi_tile_global_coordinates(detector, rng):
     ious = np.array(iou_matrix(boxes, boxes))  # writable copy
     np.fill_diagonal(ious, 0.0)
     assert ious.max() <= 0.4 + 1e-5
+
+
+def test_tile_granularity_respects_pad_bucketing(rng):
+    params = convert_retinaface(random_retinaface_state_dict(rng))
+    pad_det = RetinaFaceDetector(params=params, bucketing="pad")
+    # 992 is a multiple of 32 but not of the 64 px pad bucket: device
+    # tiles would reach the jitted program at a non-bucketed shape.
+    with pytest.raises(ValueError, match="multiple of 64"):
+        TiledDetector(pad_det, tile=992)
+    TiledDetector(pad_det, tile=1024)  # fine
+
+    exact_det = RetinaFaceDetector(params=params, bucketing="exact")
+    TiledDetector(exact_det, tile=992)  # 32-multiple is enough here

@@ -474,6 +474,12 @@ def main():
             name: info["mean_ms"]
             for name, info in timer.summary().items()
         },
+        # The wall-clock stage table measures where the HOST waited, not
+        # where the device worked: dispatch stages return immediately
+        # (async), and the whole batch's device time + relay latency
+        # lands on the first blocking fetch (pose_fetch/limb_fetch under
+        # adaptive dispatch). Per-program device cost is device_stage_ms.
+        "stages_note": "fetch stages absorb device sync; see device_stage_ms",
     }
     print(json.dumps(result))
 

@@ -104,10 +104,21 @@ class RetinaFaceDetector:
         n, h, w = images.shape[:3]
         bh, bw = bucket_shape(h, w, mode=self.bucketing)
         if on_device and (bh, bw) != (h, w):
-            raise ValueError(
-                f"device-array input must arrive at a bucketed shape; got "
-                f"{(h, w)}, bucket {(bh, bw)}"
+            # Device arrays normally arrive pre-bucketed (tile batches are,
+            # by construction) and feed the program directly; an off-bucket
+            # one falls back to the host-padding path below — a d2h+h2d
+            # round trip, so warn rather than silently doubling link
+            # traffic (and rather than raising: plain jax-array callers
+            # were accepted before the device fast path existed).
+            from terran_tpu.utils.profiling import get_logger
+
+            get_logger().warning(
+                "device-array input at non-bucketed shape %s (bucket %s): "
+                "padding on host — pass bucketed shapes to stay on device",
+                (h, w), (bh, bw),
             )
+            images = np.asarray(images)
+            on_device = False
         if (bh, bw) != (h, w):
             # Reuse one pad buffer per padded shape instead of allocating
             # ~n*bh*bw*3 bytes per call (batch-1 latency, VERDICT r1 #7).
@@ -116,6 +127,12 @@ class RetinaFaceDetector:
                 buffers = self._pad_local.buffers = {}
             padded = buffers.get((n, bh, bw))
             if padded is None or padded.dtype != images.dtype:
+                # Bound the cache: a long-lived detector fed many distinct
+                # (n, bucket) shapes must not accumulate one ~n*bh*bw*3
+                # buffer per shape forever. 4 shapes covers steady-state
+                # use (one video size + a trailing partial batch).
+                if len(buffers) >= 4:
+                    buffers.pop(next(iter(buffers)))
                 padded = np.zeros((n, bh, bw, 3), dtype=images.dtype)
                 buffers[(n, bh, bw)] = padded
             padded[:, :h, :w] = images
@@ -212,7 +229,13 @@ class _LazyDetection:
 
     def __getattr__(self, name):
         # Forward attribute access so the lazy proxy is a drop-in for the
-        # real instance (the reference exposes a real object at import).
+        # real instance (the reference exposes a real object at import) —
+        # but never for dunder/underscore probes: pickling, copy, IPython
+        # repr machinery and plain hasattr() all probe attributes, and
+        # resolving here would read the checkpoint store (and build a
+        # model) as a side effect of introspection.
+        if name.startswith("_"):
+            raise AttributeError(name)
         return getattr(self._resolve(), name)
 
 

@@ -146,19 +146,25 @@ class VideoWriter:
         if self._thread:
             from queue import Empty as QueueEmpty, Full as QueueFull
 
-            try:
-                self._queue.put(None, timeout=1.0)
-            except QueueFull:
-                # Thread is gone; drop queued frames so join can't hang.
+            # Block until the sentinel is queued while the encoder is
+            # alive — a slow encoder (4K, slow disk) may take >1 s per
+            # slot, and every queued frame must still reach it. Only a
+            # DEAD thread justifies dropping frames (it stopped draining;
+            # blocking would deadlock and bury the recorded error).
+            while True:
                 try:
-                    while True:
-                        self._queue.get_nowait()
-                except QueueEmpty:
-                    pass
-                try:
-                    self._queue.put_nowait(None)
+                    self._queue.put(None, timeout=0.5)
+                    break
                 except QueueFull:
-                    pass
+                    if not self._thread.is_alive():
+                        # Thread is gone; drop queued frames so join
+                        # can't hang (the error is re-raised below).
+                        try:
+                            while True:
+                                self._queue.get_nowait()
+                        except QueueEmpty:
+                            pass
+                        break
             self._thread.join()
         if self._errors:
             raise self._errors[0]

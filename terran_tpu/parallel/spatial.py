@@ -123,7 +123,9 @@ def slab_candidates(scores, boxes, landmarks, *, device_index, slab_h, halo,
     # whole-frame candidate set.
     gctr = jnp.asarray(ctr_y) + offset
     own = (gctr >= start) & (gctr < start + slab_h)
-    scores = jnp.where(valid & own, scores, 0.0)
+    # Mask to -inf, not 0: a threshold <= 0 must not resurrect non-owned
+    # anchors as score-0 candidates duplicated across devices.
+    scores = jnp.where(valid & own, scores, -jnp.inf)
 
     zero = jnp.zeros((), jnp.float32)
     boxes = boxes + jnp.stack([zero, offset, zero, offset])
@@ -157,6 +159,14 @@ def make_spatial_detect_fn(model, mesh, slab_h, width, halo, *,
         raise ValueError(f"slab_h and halo must be multiples of {GRID}")
     if halo <= 0:
         raise ValueError("halo must be positive")
+    if halo > slab_h:
+        # The exchange trades rows with IMMEDIATE neighbours only;
+        # slab[-halo:] of a shorter slab would silently ship fewer rows
+        # than the anchor grid expects. (Multi-hop exchange would lift
+        # this; no frame/mesh combination has needed it.)
+        raise ValueError(
+            f"halo ({halo}) must not exceed slab_h ({slab_h})"
+        )
     if local_top_k is None:
         local_top_k = top_k
     n = mesh.devices.size
@@ -274,8 +284,13 @@ class SpatialShardedDetector:
     def _fn(self, slab_h, width):
         key = (slab_h, width)
         if key not in self._fns:
+            # A short frame can make slab_h < the configured halo; the
+            # exchange only reaches immediate neighbours, so clamp (the
+            # whole neighbouring slab is then in view — the maximum
+            # context a one-hop exchange can provide).
             self._fns[key] = make_spatial_detect_fn(
-                self.model, self.mesh, slab_h, width, self.halo,
+                self.model, self.mesh, slab_h, width,
+                min(self.halo, slab_h),
                 nms_threshold=self.nms_threshold, top_k=self.top_k,
                 local_top_k=self.local_top_k,
             )

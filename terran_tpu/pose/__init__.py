@@ -101,7 +101,11 @@ class _LazyEstimation:
 
     def __getattr__(self, name):
         # Forward attribute access so the lazy proxy is a drop-in for the
-        # real instance (the reference exposes a real object at import).
+        # real instance (the reference exposes a real object at import) —
+        # except dunder/underscore probes (hasattr, pickling, IPython
+        # introspection), which must not load the checkpoint store.
+        if name.startswith("_"):
+            raise AttributeError(name)
         return getattr(self._resolve(), name)
 
 

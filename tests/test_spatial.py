@@ -216,3 +216,108 @@ def test_wrapper_matches_unsharded_when_one_device(detector, rng):
     for g, e in zip(got, exp):
         np.testing.assert_allclose(g["bbox"], e["bbox"], atol=1e-2)
         np.testing.assert_allclose(g["score"], e["score"], atol=1e-5)
+
+
+def test_threshold_zero_does_not_resurrect_masked_anchors():
+    """Non-owned/invalid anchors are masked to -inf, so a threshold <= 0
+    must not admit them as score-0 candidates (advisor r2 finding)."""
+    anchors, *_ = ext_anchor_meta(SLAB, WIDTH, HALO)
+    A = len(anchors)
+    ones = jnp.ones((A,), jnp.float32)
+    boxes = jnp.zeros((A, 4), jnp.float32)
+    lmks = jnp.zeros((A, 5, 2), jnp.float32)
+
+    total = 0
+    for i in range(N_DEV):
+        _, _, ts, _ = slab_candidates(
+            ones, boxes, lmks,
+            device_index=jnp.asarray(i), slab_h=SLAB, halo=HALO,
+            width=WIDTH, valid_h=N_DEV * SLAB, valid_w=WIDTH,
+            threshold=0.0, local_top_k=A,
+        )
+        total += int(np.isfinite(np.asarray(ts)).sum())
+
+    from terran_tpu.models.retinaface import anchors_for_shape
+
+    full = len(anchors_for_shape(N_DEV * SLAB, WIDTH))
+    assert total == full, (
+        "threshold<=0 admitted masked (non-owned/out-of-frame) anchors"
+    )
+
+
+def test_sharded_matches_independent_whole_frame_path(detector, rng):
+    """Validate the sharded program against the PRODUCTION whole-frame
+    model path (model.apply + anchors_for_shape + decode_outputs), with no
+    spatial.py helper shared (advisor r2 finding: the plumbing oracle
+    reuses slab_candidates/ext_anchor_meta, so a shared ownership or
+    coordinate-shift bug would pass it).
+
+    Construction that makes the comparison EXACT: 2 devices with
+    halo == slab_h means device 0's extended slab is bit-identical to
+    ``[zeros(slab); frame]`` and device 1's to ``[frame; zeros(slab)]`` —
+    both directly computable by the whole-frame path. NMS is disabled on
+    both sides (IoU threshold > 1 keeps every candidate), and ownership
+    is re-derived here from first principles (anchor centre row in the
+    device's row band).
+    """
+    from jax.sharding import Mesh
+    from terran_tpu.models.retinaface import anchors_for_shape
+
+    slab = 128
+    h, w = 2 * slab, 96
+    frame = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    threshold = 0.5
+
+    mesh2 = create_mesh(2)
+    top_k = 1024
+    fn = make_spatial_detect_fn(
+        detector.model, mesh2, slab, w, slab,
+        nms_threshold=1.1, top_k=top_k, local_top_k=top_k,
+    )
+    packed = np.asarray(fn(detector.params, frame, threshold, w, h))
+    boxes, landmarks, scores, mask, _ = unpack_detections(packed[None])
+    got = [
+        (tuple(np.round(b, 1)), float(s))
+        for b, s in zip(boxes[0][mask[0]], scores[0][mask[0]])
+    ]
+
+    # Independent expectation from the production whole-frame path.
+    anchors = anchors_for_shape(h + slab, w)
+    ctr_y = (anchors[:, 1] + anchors[:, 3]) / 2.0
+    expected = []
+    for apron, own_lo, own_hi, shift in [
+        (np.concatenate([np.zeros((slab, w, 3), np.uint8), frame]),
+         slab, 2 * slab, -slab),   # device 0: owned rows 0..slab
+        (np.concatenate([frame, np.zeros((slab, w, 3), np.uint8)]),
+         slab, 2 * slab, 0),       # device 1: owned rows slab..2*slab
+    ]:
+        outputs = detector.model.apply(
+            {"params": detector.params},
+            jnp.asarray(apron, detector.model.compute_dtype)[None],
+        )
+        s, b, _ = decode_outputs(outputs, anchors)
+        s, b = np.asarray(s[0]), np.asarray(b[0])
+        own = (ctr_y >= own_lo) & (ctr_y < own_hi)
+        keep = own & (s >= threshold)
+        for bb, ss in zip(b[keep], s[keep]):
+            expected.append(
+                (tuple(np.round(bb + [0, shift, 0, shift], 1)), float(ss))
+            )
+
+    assert len(expected) > 0, "no candidates above threshold; vacuous"
+    assert len(got) == len(expected)
+    # Set-wise greedy match (the sharded output is score-sorted and
+    # saturated sigmoid scores tie, so rank order is not comparable).
+    remaining = list(expected)
+    for gb, gs in got:
+        dists = [
+            max(abs(np.asarray(gb) - np.asarray(eb)).max(),
+                abs(gs - es) * 1e3)
+            for eb, es in remaining
+        ]
+        j = int(np.argmin(dists))
+        assert dists[j] < 0.5, (
+            f"sharded candidate {gb} (score {gs}) has no whole-frame "
+            f"counterpart (best diff {dists[j]})"
+        )
+        remaining.pop(j)

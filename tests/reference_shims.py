@@ -1,0 +1,98 @@
+"""Import shims that let the REFERENCE package (/root/reference/terran) run
+in this sandbox, so cross-check tests can compare this framework against the
+reference's ACTUAL wrapper/decode code — not a re-transcription of it.
+
+The reference's import graph needs four names this environment lacks
+(SURVEY §2): ``torchvision.ops.nms``, ``sklearn.preprocessing.normalize``,
+``skimage.transform.SimilarityTransform`` and an importable ``ffmpeg``
+(ffmpeg-python; only imported, never exercised here). Each shim is a
+faithful minimal stand-in:
+
+- ``nms``: greedy IoU suppression with torchvision's exact semantics
+  (score-descending, strictly-greater-than-threshold suppression, areas
+  without the +1 convention).
+- ``normalize``: row-wise L2 with sklearn's zero-row behaviour (zero rows
+  stay zero).
+- ``SimilarityTransform``: Umeyama least-squares similarity estimate via
+  this repo's ``terran_tpu.ops.warp.umeyama`` (documented equivalent of
+  skimage's estimator; its warp output is separately tested against PIL in
+  test_warp.py).
+"""
+
+import sys
+import types
+
+import numpy as np
+
+
+def _module(name):
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    return mod
+
+
+def _torchvision_nms(boxes, scores, iou_threshold):
+    """torchvision.ops.nms semantics: keep score-descending, suppress boxes
+    with IoU strictly greater than ``iou_threshold`` against a kept box."""
+    import torch
+
+    order = torch.argsort(scores, descending=True).tolist()
+    x1, y1, x2, y2 = boxes.unbind(dim=1)
+    areas = (x2 - x1) * (y2 - y1)
+    kept = []
+    while order:
+        i = order.pop(0)
+        kept.append(i)
+        if not order:
+            break
+        rest = torch.as_tensor(order, dtype=torch.long)
+        w = (torch.minimum(x2[i], x2[rest])
+             - torch.maximum(x1[i], x1[rest])).clamp(min=0)
+        h = (torch.minimum(y2[i], y2[rest])
+             - torch.maximum(y1[i], y1[rest])).clamp(min=0)
+        inter = w * h
+        iou = inter / (areas[i] + areas[rest] - inter)
+        order = [o for o, keep in zip(order, (iou <= iou_threshold).tolist())
+                 if keep]
+    return torch.as_tensor(kept, dtype=torch.long)
+
+
+def _normalize(X, axis=1):
+    X = np.asarray(X)
+    norms = np.linalg.norm(X.astype(np.float64), axis=axis, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (X / norms).astype(X.dtype)
+
+
+class _SimilarityTransform:
+    def __init__(self):
+        self.params = np.eye(3)
+
+    def estimate(self, src, dst):
+        from terran_tpu.ops.warp import umeyama
+
+        self.params = umeyama(src, dst)
+        return True
+
+
+def install():
+    """Install the shims and put /root/reference on sys.path. Idempotent."""
+    if "torchvision" not in sys.modules:
+        tv = _module("torchvision")
+        ops = _module("torchvision.ops")
+        ops.nms = _torchvision_nms
+        tv.ops = ops
+    if "sklearn" not in sys.modules:
+        sk = _module("sklearn")
+        pre = _module("sklearn.preprocessing")
+        pre.normalize = _normalize
+        sk.preprocessing = pre
+    if "skimage" not in sys.modules:
+        ski = _module("skimage")
+        tra = _module("skimage.transform")
+        tra.SimilarityTransform = _SimilarityTransform
+        ski.transform = tra
+    if "ffmpeg" not in sys.modules:
+        _module("ffmpeg")  # imported by terran.io.video, never exercised
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")

@@ -45,9 +45,8 @@ class Config:
     # Embed dispatch: 'adaptive' sizes the warp+embed program to the number
     # of faces actually detected (buckets below), 'fused' warps a fixed
     # (batch, max_faces) grid inside the detection program with no host
-    # round trip, 'auto' picks adaptive on a single device and fused under
-    # a mesh (adaptive needs a host-side count, which a sharded program
-    # cannot feed per-shard).
+    # round trip. 'auto' = adaptive everywhere; under a mesh the bucket is
+    # chosen once per global batch, so every shard runs the same program.
     embed_dispatch: str = "auto"
     # Comma-separated PER-FRAME face-slot sizes for the adaptive
     # warp+embed program (chosen per batch to cover its busiest frame);
@@ -57,7 +56,7 @@ class Config:
     # Pose limb scoring: 'adaptive' splits the pose program and sizes the
     # (K, K) limb-pair tables to the peaks actually found (buckets below);
     # 'fused' keeps one program at max_peaks capacity; 'auto' = adaptive
-    # on a single device, fused under a mesh.
+    # (mesh included, same uniform-bucket rule as embed_dispatch).
     limb_dispatch: str = "auto"
     # Comma-separated per-part peak-slot sizes for the adaptive limb
     # program; max_peaks_per_part is always the fallback bucket.
@@ -68,6 +67,16 @@ class Config:
     # largest face picks the bucket; faces exceeding the largest window
     # (or frames smaller than the smallest) fall back to full-frame warps.
     pipeline_embed_windows: str = "256,512"
+
+    # Overflow escalation: when a fixed capacity saturates (detection
+    # top_k, pose max_peaks, embed face slots), re-dispatch that batch at
+    # doubled capacity instead of warning-and-dropping — the reference's
+    # dynamic shapes cannot drop results (retinaface/wrapper.py:207-236),
+    # so neither may the fixed-shape programs. Each value is the maximum
+    # number of doublings per batch (escalated programs compile once and
+    # cache, so a steady crowd pays compile only at its first appearance);
+    # 0 restores warn-only behaviour.
+    max_escalations: int = 2
 
     # I/O buffering.
     reader_buffer_batches: int = 1

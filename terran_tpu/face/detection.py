@@ -34,11 +34,20 @@ class RetinaFaceDetector:
 
     def __init__(self, params=None, nms_threshold=None, top_k=None,
                  bucketing=None, compute_dtype=None, device=None,
-                 threshold=None):
+                 threshold=None, max_escalations=None):
         cfg = get_config()
         nms_threshold = (
             cfg.nms_iou_threshold if nms_threshold is None else nms_threshold
         )
+        # Overflow escalation: re-dispatch at doubled top_k when the fixed
+        # pre-selection saturates, instead of dropping low-scoring faces —
+        # the reference's dynamic shapes cannot drop detections
+        # (retinaface/wrapper.py:207-236).
+        self.max_escalations = (
+            cfg.max_escalations if max_escalations is None
+            else max_escalations
+        )
+        self.escalation_count = 0
         # Default score threshold for calls that don't pass one (the
         # reference hardcodes 0.5 at call time, wrapper.py:133).
         self.threshold = (
@@ -73,12 +82,13 @@ class RetinaFaceDetector:
 
         self._pad_local = threading.local()
 
-    def _detect_fn(self, height, width):
-        key = (height, width)
+    def _detect_fn(self, height, width, top_k=None):
+        top_k = self.top_k if top_k is None else top_k
+        key = (height, width, top_k)
         if key not in self._detect_fns:
             self._detect_fns[key] = make_detect_fn(
                 self.model, height, width,
-                nms_threshold=self.nms_threshold, top_k=self.top_k,
+                nms_threshold=self.nms_threshold, top_k=top_k,
             )
         return self._detect_fns[key]
 
@@ -140,17 +150,29 @@ class RetinaFaceDetector:
             padded[:, :h, w:] = 0
             images = padded
 
-        detect = self._detect_fn(bh, bw)
-        packed = np.asarray(detect(self.params, images, threshold, w, h))
-        boxes, landmarks, scores, mask, overflow = unpack_detections(packed)
+        top_k = self.top_k
+        for attempt in range(self.max_escalations + 1):
+            detect = self._detect_fn(bh, bw, top_k)
+            packed = np.asarray(detect(self.params, images, threshold, w, h))
+            boxes, landmarks, scores, mask, overflow = unpack_detections(
+                packed
+            )
+            if not overflow.any() or attempt == self.max_escalations:
+                break
+            # Saturated: the fixed pre-selection may have dropped real
+            # faces. Re-dispatch at doubled capacity (one-time compile per
+            # escalated top_k; a steady crowd is a cache hit).
+            top_k *= 2
+            self.escalation_count += 1
         scores = scores.astype(np.float32)
         if overflow.any():
             from terran_tpu.utils.profiling import get_logger
 
             get_logger().warning(
-                "detection top_k=%d saturated on %d image(s); results may "
-                "drop low-scoring faces — raise detection_top_k",
-                self.top_k, int(overflow.sum()),
+                "detection top_k=%d saturated on %d image(s) even after %d "
+                "escalation(s); results may drop low-scoring faces — raise "
+                "detection_top_k or max_escalations",
+                top_k, int(overflow.sum()), self.max_escalations,
             )
 
         batch_objects = []

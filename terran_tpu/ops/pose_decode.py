@@ -259,11 +259,16 @@ def limb_scores_sampled(pafs_small, factor, coords, valid, thresh_midpoint):
 
 
 def forward_and_find_peaks(model, params, images, keypoint_threshold,
-                           max_peaks, use_fused, factor=8):
+                           max_peaks, use_fused, factor=8, mesh=None):
     """Traced front half shared by ``pipeline`` and
     :func:`make_pose_decode`: normalise + CPM forward + fixed-K peak
     finding. ``images`` are already at the network input resolution.
     Returns (paf x1 float32, coords, scores, valid, overflow).
+
+    With ``mesh``, the fused Pallas kernel runs per shard via
+    ``shard_map`` over the batch axis — XLA's SPMD partitioner cannot
+    split a custom call by itself, and the kernel is batch-parallel (its
+    grid leads with the plane axis), so manual partitioning is exact.
     """
     x = images.astype(jnp.float32) / 255.0 - 0.5
     paf, heat = model.apply(
@@ -274,9 +279,24 @@ def forward_and_find_peaks(model, params, images, keypoint_threshold,
     if use_fused:
         from terran_tpu.ops.fused_peaks import find_peaks_fused
 
-        coords, scores, valid, overflow = find_peaks_fused(
-            heat.astype(jnp.float32)[..., :NUM_PARTS],
-            keypoint_threshold, max_peaks, factor=factor,
+        fused = lambda hm: find_peaks_fused(
+            hm, keypoint_threshold, max_peaks, factor=factor,
+        )
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from terran_tpu.parallel.mesh import DATA_AXIS
+
+            spec = P(DATA_AXIS)
+            # check_vma=False: pallas_call outputs carry no varying-axis
+            # annotation, and every in/out here is batch-sharded anyway.
+            fused = shard_map(
+                fused, mesh=mesh, in_specs=spec,
+                out_specs=(spec, spec, spec, spec), check_vma=False,
+            )
+        coords, scores, valid, overflow = fused(
+            heat.astype(jnp.float32)[..., :NUM_PARTS]
         )
     else:
         from terran_tpu.ops.upsample import upsample_bicubic

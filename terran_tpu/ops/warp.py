@@ -238,9 +238,18 @@ def _warp_affine_core(image, matrix, out_h, out_w, h, w, origin=None):
     p10 = patches[:, :, 1, 0]
     p11 = patches[:, :, 1, 1]
 
-    # Edge replication (PIL tap clamping): at y0 == -1 both tap rows are
-    # source row 0 (the fetched row 0); at y0 == h-1 both are row h-1 (the
-    # fetched row 1). Same for columns.
+    return _blend_taps(p00, p01, p10, p11, x0i, y0i, fx, fy, inside, h, w)
+
+
+def _blend_taps(p00, p01, p10, p11, x0i, y0i, fx, fy, inside, h, w):
+    """Edge-replication selects + bilinear lerp shared by the per-pixel
+    and grouped gather paths. ``p_ab`` are the fetched patch values at the
+    CLAMPED per-pixel origin (+a rows, +b cols).
+
+    Edge replication (PIL tap clamping): at y0 == -1 both tap rows are
+    source row 0 (the fetched row 0); at y0 == h-1 both are row h-1 (the
+    fetched row 1). Same for columns.
+    """
     ly = (y0i == -1)[..., None]
     hy = (y0i == h - 1)[..., None]
     lx = (x0i == -1)[..., None]
@@ -283,6 +292,124 @@ def warp_affine_windowed(window, matrix, origin, frame_h, frame_w,
     """
     return _warp_affine_core(window, matrix, out_h, out_w,
                              frame_h, frame_w, origin=origin)
+
+
+# Grouped-slab geometry: GROUP consecutive output-x pixels share one
+# (SLAB_H, SLAB_W, C) gather descriptor. Eligibility (checked by the
+# dispatcher against the alignment matrix): the group's source x-span
+# |m00|*(GROUP-1) must fit SLAB_W - 2 columns and its y-drift
+# |m10|*(GROUP-1) must fit SLAB_H - 2 rows (ceil of the span bounds the
+# floor-coordinate spread). For upright faces m10 ~ 0 and m00 is the
+# source scale, so faces up to ~1.33x source scale and ~±14 degrees
+# qualify — the common case the adaptive dispatcher targets.
+GROUP = 4
+SLAB_H = 3
+SLAB_W = 6
+
+
+def grouped_warp_eligible(matrices, group=GROUP, slab_h=SLAB_H,
+                          slab_w=SLAB_W):
+    """Per-matrix eligibility for the grouped-slab warp: (M, 2, 3) ->
+    (M,) bool. Strictly conservative (ceil-span bound)."""
+    m = np.asarray(matrices)
+    span_x = np.abs(m[:, 0, 0]) * (group - 1)
+    span_y = np.abs(m[:, 1, 0]) * (group - 1)
+    return (span_x <= slab_w - 2 - 1e-3) & (span_y <= slab_h - 2 - 1e-3)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w",
+                                             "frame_h", "frame_w"))
+def warp_affine_windowed_grouped(window, matrix, origin, frame_h, frame_w,
+                                 out_h=112, out_w=112):
+    """:func:`warp_affine_windowed` with GROUPED gather descriptors.
+
+    One (SLAB_H, SLAB_W, C) slab is fetched per GROUP consecutive output
+    pixels of a row instead of one (2, 2, C) patch per pixel — 4x fewer
+    descriptors, and the per-pixel 2x2 taps are recovered from the slab
+    by where-chains over the (tiny, static) slab axes on the VPU.
+    Bit-identical to the per-pixel path for matrices passing
+    :func:`grouped_warp_eligible` when the window carries SLAB_W - 2
+    extra margin (the dispatcher sizes windows accordingly).
+
+    Why: gathers are per-descriptor-bound (~25-33 ns each on v5e
+    regardless of operand size — see docs/architecture.md); measured raw
+    gather cost for the 64-crop full-occupancy batch drops 20.1 -> 11.0
+    ms with (3, 6, 3) slabs at a quarter the descriptors.
+    """
+    h, w = frame_h, frame_w
+    C = window.shape[2]
+    ng = out_w // GROUP
+    assert out_w % GROUP == 0
+
+    ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(out_w, dtype=jnp.float32) + 0.5
+    xg, yg = jnp.meshgrid(xs, ys)
+
+    raw_x = matrix[0, 0] * xg + matrix[0, 1] * yg + matrix[0, 2]
+    raw_y = matrix[1, 0] * xg + matrix[1, 1] * yg + matrix[1, 2]
+    inside = (raw_x >= 0) & (raw_x < w) & (raw_y >= 0) & (raw_y < h)
+
+    src_x = raw_x - 0.5
+    src_y = raw_y - 0.5
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    fx = src_x - x0
+    fy = src_y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # Clamped per-pixel patch origins in full-source space (identical tap
+    # choice to the per-pixel path), grouped along x.
+    oy_pix = jnp.clip(y0i, 0, h - 2).reshape(out_h, ng, GROUP)
+    ox_pix = jnp.clip(x0i, 0, w - 2).reshape(out_h, ng, GROUP)
+    # Slab origin: the group minimum, shifted into window space. The
+    # dispatcher's extra margin makes the fit clip a no-op for inside
+    # pixels; outside pixels take arbitrary taps and are filled anyway.
+    soy = jnp.clip(oy_pix.min(axis=2) - origin[0],
+                   0, window.shape[0] - SLAB_H)
+    sox = jnp.clip(ox_pix.min(axis=2) - origin[1],
+                   0, window.shape[1] - SLAB_W)
+    dy = jnp.clip(oy_pix - origin[0] - soy[..., None], 0, SLAB_H - 2)
+    dx = jnp.clip(ox_pix - origin[1] - sox[..., None], 0, SLAB_W - 2)
+
+    starts = jnp.stack([soy.reshape(-1), sox.reshape(-1)], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    slabs = jax.lax.gather(
+        window, starts, dn, slice_sizes=(SLAB_H, SLAB_W, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).astype(jnp.float32).reshape(out_h, ng, SLAB_H, SLAB_W, C)
+
+    # Tap extraction: where-chains over the static slab axes. Column pick
+    # per slab row (cidx = dx + b), then row pick (ridx = dy + a).
+    def col_pick(row_vals, cidx):
+        acc = jnp.broadcast_to(
+            row_vals[:, :, None, 0, :], cidx.shape + (C,)
+        )
+        for c in range(1, SLAB_W):
+            acc = jnp.where((cidx == c)[..., None],
+                            row_vals[:, :, None, c, :], acc)
+        return acc
+
+    picked = [
+        [col_pick(slabs[:, :, r], dx + b) for b in (0, 1)]
+        for r in range(SLAB_H)
+    ]
+
+    def row_pick(a, b):
+        acc = picked[a][b]
+        for d in range(1, SLAB_H - 1):
+            acc = jnp.where((dy == d)[..., None], picked[d + a][b], acc)
+        return acc.reshape(out_h, out_w, C)
+
+    p00 = row_pick(0, 0)
+    p01 = row_pick(0, 1)
+    p10 = row_pick(1, 0)
+    p11 = row_pick(1, 1)
+
+    return _blend_taps(p00, p01, p10, p11, x0i, y0i, fx, fy, inside, h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))

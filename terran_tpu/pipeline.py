@@ -49,8 +49,9 @@ from terran_tpu.ops.pose_decode import (
 )
 from terran_tpu.ops.upsample import upsample_bicubic
 from terran_tpu.ops.warp import (
-    alignment_matrices, alignment_matrices_jax, warp_affine_batch,
-    warp_affine_windowed,
+    SLAB_W, alignment_matrices, alignment_matrices_jax,
+    grouped_warp_eligible, warp_affine_batch, warp_affine_windowed,
+    warp_affine_windowed_grouped,
 )
 from terran_tpu.parallel.mesh import (
     batch_sharding, pad_batch_to_multiple, replicated_sharding,
@@ -60,19 +61,15 @@ from terran_tpu.runtime import default_policy
 
 
 def _resolve_dispatch(name, mode, mesh):
-    """'auto' -> 'adaptive' on a single device, 'fused' under a mesh;
-    explicit 'adaptive' with a mesh is an error (a sharded program cannot
-    take a host-chosen size per shard)."""
+    """'auto' -> 'adaptive' everywhere. The adaptive path picks ONE bucket
+    per batch (sized to the busiest frame), and a uniform bucket is exactly
+    as shardable as the fused full-capacity program — the bucketed programs
+    jit with the same in_shardings, so a mesh no longer silently downgrades
+    every batch to worst-case capacity (round-2 review item #3)."""
     if mode == "auto":
-        return "fused" if mesh is not None else "adaptive"
+        return "adaptive"
     if mode not in ("adaptive", "fused"):
         raise ValueError(f"unknown {name} {mode!r}")
-    if mode == "adaptive" and mesh is not None:
-        raise ValueError(
-            f"{name}='adaptive' is incompatible with a mesh: the bucketed "
-            "programs take a host-chosen size, which a sharded program "
-            "cannot vary per shard; use 'fused' (or 'auto')."
-        )
     return mode
 
 
@@ -88,7 +85,8 @@ class PerceptionPipeline:
                  nms_threshold=None, top_k=None, max_faces=None,
                  max_peaks=None, compute_dtype=None, mesh=None,
                  with_pose=True, with_embeddings=True, timer=None,
-                 embed_dispatch=None, limb_dispatch=None):
+                 embed_dispatch=None, limb_dispatch=None,
+                 max_escalations=None):
         from terran_tpu.checkpoint import load_checkpoint_params
         from terran_tpu.config import get_config
 
@@ -131,6 +129,15 @@ class PerceptionPipeline:
         self.max_peaks = max_peaks
         self.with_pose = with_pose
         self.with_embeddings = with_embeddings
+        # Overflow escalation (config.max_escalations): saturated batches
+        # re-dispatch at doubled capacity instead of warning-and-dropping.
+        # Counters are cumulative over the pipeline's lifetime; bench.py
+        # reports them.
+        self.max_escalations = (
+            cfg.max_escalations if max_escalations is None
+            else max_escalations
+        )
+        self.escalations = {"detect": 0, "pose": 0, "embed": 0}
 
         dtype = compute_dtype or default_policy().compute_dtype
         self.det_model = RetinaFace(compute_dtype=dtype)
@@ -155,9 +162,10 @@ class PerceptionPipeline:
         # 137-147 — this is its TPU analogue with bucketed static shapes)
         # and the limb-pair tables to the peaks actually found (valid
         # peaks occupy prefix slots). 'fused' keeps full-capacity single
-        # programs with no host round trips. A sharded program cannot
-        # take a host-chosen size per shard, so a mesh requires 'fused'
-        # ('auto' resolves to it; an explicit 'adaptive' raises).
+        # programs with no host round trips. Both work under a mesh: the
+        # adaptive bucket is chosen once per GLOBAL batch (covering the
+        # busiest frame anywhere on the mesh), so every shard runs the
+        # same program.
         self.embed_dispatch = _resolve_dispatch(
             "embed_dispatch",
             cfg.embed_dispatch if embed_dispatch is None else embed_dispatch,
@@ -210,10 +218,13 @@ class PerceptionPipeline:
             "out_shardings": data,
         }
 
-    def _perception_fn(self, full_h, full_w):
+    def _perception_fn(self, full_h, full_w, top_k=None):
         # The traced program depends on the embed mode (the fused path
-        # warps crops inside it), so mode flips must not reuse the cache.
-        key = (full_h, full_w, self.embed_dispatch)
+        # warps crops inside it) and the NMS capacity (overflow
+        # escalation re-dispatches at doubled top_k), so neither may
+        # reuse the cache across values.
+        top_k = self.top_k if top_k is None else top_k
+        key = (full_h, full_w, self.embed_dispatch, top_k)
         if key in self._step_fns:
             return self._step_fns[key]
 
@@ -221,7 +232,6 @@ class PerceptionPipeline:
             full_h, full_w, self.det_short_side
         )
         anchors = anchors_for_shape(det_h, det_w)
-        top_k = self.top_k
         max_faces = self.max_faces
         inv_scale = 1.0 / det_scale
         with_embeddings = (
@@ -360,20 +370,32 @@ class PerceptionPipeline:
                 [feats, valid[..., None].astype(jnp.float32)], axis=-1
             )
 
-        fn = jax.jit(warp_embed)
+        fn = jax.jit(warp_embed, **self._sharding_kwargs(
+            num_batch_args=2, num_param_args=1,
+        ))
         self._warp_embed_fns[key] = fn
         return fn
 
-    def _warp_embed_window_fn(self, k_slots, ws, frames_shape):
+    def _warp_embed_window_fn(self, k_slots, ws, frames_shape,
+                              grouped=False):
         """Windowed variant of :meth:`_warp_embed_fn`: each face's crop is
         gathered from a ``(ws, ws)`` window dynamic-sliced around its
         source quad instead of the full frame (the patch gather pays an
         operand-proportional cost — see ops/warp.py). The plan is one
         (B, k, 9) upload: 6 matrix entries + validity + window (y, x).
+
+        With ``grouped``, the warp fetches one (3, 6, C) slab per 4
+        output pixels instead of one (2, 2, C) patch per pixel — 4x fewer
+        gather descriptors, bit-identical for matrices passing
+        ``ops.warp.grouped_warp_eligible`` (the dispatcher checks).
         """
-        key = (k_slots, ws) + tuple(frames_shape)
+        key = (k_slots, ws, grouped) + tuple(frames_shape)
         if key in self._warp_embed_fns:
             return self._warp_embed_fns[key]
+
+        warp_fn = (
+            warp_affine_windowed_grouped if grouped else warp_affine_windowed
+        )
 
         def warp_embed(rec_params, frames, packed):
             b = frames.shape[0]
@@ -392,7 +414,7 @@ class PerceptionPipeline:
             )(frames, oyx)  # (B, k, ws, ws, C)
             wflat = wins.reshape((b * k_slots,) + wins.shape[2:])
             crops = jax.vmap(
-                lambda wdw, m, o: warp_affine_windowed(
+                lambda wdw, m, o: warp_fn(
                     wdw, m, o, frame_h, frame_w
                 )
             )(wflat, mats, oyx.reshape(-1, 2))
@@ -408,7 +430,9 @@ class PerceptionPipeline:
             )
             return packed_out.reshape(b, k_slots, -1)
 
-        fn = jax.jit(warp_embed)
+        fn = jax.jit(warp_embed, **self._sharding_kwargs(
+            num_batch_args=2, num_param_args=1,
+        ))
         self._warp_embed_fns[key] = fn
         return fn
 
@@ -420,8 +444,9 @@ class PerceptionPipeline:
                 return b
         return capacity
 
-    def _pose_fn(self, full_h, full_w):
-        key = (full_h, full_w)
+    def _pose_fn(self, full_h, full_w, max_peaks=None):
+        max_peaks = self.max_peaks if max_peaks is None else max_peaks
+        key = (full_h, full_w, max_peaks)
         if key in self._pose_fns:
             return self._pose_fns[key]
 
@@ -429,11 +454,15 @@ class PerceptionPipeline:
             full_h, full_w, self.pose_short_side
         )
 
-        use_fused = self.use_fused_peaks and self.mesh is None
+        # Under a mesh the Pallas kernel runs per shard via shard_map
+        # (see forward_and_find_peaks) — no more silent downgrade to the
+        # XLA materialise-and-top_k path (round-2 review item #3b).
+        use_fused = self.use_fused_peaks
 
         def decode(pose_params, frames_full):
             paf, peaks, coords, valid = self._pose_front(
-                pose_params, frames_full, pose_h, pose_w, use_fused
+                pose_params, frames_full, pose_h, pose_w, use_fused,
+                max_peaks,
             )
             # The PAF field is materialised at x8: the dense phase-FIR
             # upsample vectorises on the VPU and measures ~3x faster
@@ -459,7 +488,7 @@ class PerceptionPipeline:
         return decode
 
     def _pose_front(self, pose_params, frames_full, pose_h, pose_w,
-                    use_fused):
+                    use_fused, max_peaks=None):
         """Traced front half shared by the fused pose program and the
         adaptive split: on-device resize + CPM forward + fixed-K peak
         finding. Returns (paf x1 float32, peaks_packed, coords, valid);
@@ -478,12 +507,14 @@ class PerceptionPipeline:
         # image, whose padding can expand to several GB of HBM.
         paf, coords, scores, valid, overflow = forward_and_find_peaks(
             self.pose_model, pose_params, frames_pose,
-            self.keypoint_threshold, self.max_peaks, use_fused,
+            self.keypoint_threshold,
+            self.max_peaks if max_peaks is None else max_peaks,
+            use_fused, mesh=self.mesh,
         )
         return paf, pack_peaks(coords, scores, valid, overflow), coords, \
             valid
 
-    def _pose_detect_fn(self, full_h, full_w):
+    def _pose_detect_fn(self, full_h, full_w, max_peaks=None):
         """First half of the adaptive pose path: forward + peak finding.
 
         Returns (peaks_packed, paf) with the PAF left at x1 resolution ON
@@ -491,22 +522,26 @@ class PerceptionPipeline:
         scoring move to the bucketed :meth:`_limb_fn` program, sized to
         the peaks this batch actually produced.
         """
-        key = (full_h, full_w)
+        max_peaks = self.max_peaks if max_peaks is None else max_peaks
+        key = (full_h, full_w, max_peaks)
         if key in self._pose_detect_fns:
             return self._pose_detect_fns[key]
 
         pose_h, pose_w, _ = resized_shape(
             full_h, full_w, self.pose_short_side
         )
-        use_fused = self.use_fused_peaks  # adaptive mode is meshless
+        use_fused = self.use_fused_peaks
 
         def detect_pose(pose_params, frames_full):
             paf, peaks, _, _ = self._pose_front(
-                pose_params, frames_full, pose_h, pose_w, use_fused
+                pose_params, frames_full, pose_h, pose_w, use_fused,
+                max_peaks,
             )
             return peaks, paf
 
-        fn = jax.jit(detect_pose)
+        fn = jax.jit(detect_pose, **self._sharding_kwargs(
+            num_batch_args=1, num_param_args=1,
+        ))
         self._pose_detect_fns[key] = fn
         return fn
 
@@ -531,15 +566,18 @@ class PerceptionPipeline:
             )(paf8, coords, valid)
             return jnp.stack([reg, accept.astype(jnp.float32)], axis=-1)
 
-        fn = jax.jit(limbs_fn)
+        fn = jax.jit(limbs_fn, **self._sharding_kwargs(
+            num_batch_args=2, num_param_args=0,
+        ))
         self._limb_fns[key] = fn
         return fn
 
-    def _select_peak_bucket(self, count):
+    def _select_peak_bucket(self, count, cap=None):
+        cap = self.max_peaks if cap is None else cap
         for b in self.peak_buckets:
-            if count <= b < self.max_peaks:
+            if count <= b < cap:
                 return b
-        return self.max_peaks
+        return cap
 
     # ------------------------------------------------------------------
     # Host orchestration
@@ -600,15 +638,20 @@ class PerceptionPipeline:
                 if k > self.max_faces:
                     continue
                 for ws in ws_list:
-                    run(
-                        self._warp_embed_window_fn(k, ws, frames_shape),
-                        self.rec_params, frames,
-                        jnp.zeros((batch, k, 9), jnp.float32),
-                    )
+                    for grouped in (True, False):
+                        run(
+                            self._warp_embed_window_fn(
+                                k, ws, frames_shape, grouped=grouped
+                            ),
+                            self.rec_params, frames,
+                            self._put_batch(
+                                np.zeros((batch, k, 9), np.float32)
+                            ),
+                        )
                 run(
                     self._warp_embed_fn(k, frames_shape),
                     self.rec_params, frames,
-                    jnp.zeros((batch, k, 7), jnp.float32),
+                    self._put_batch(np.zeros((batch, k, 7), np.float32)),
                 )
 
         if self.with_pose and self.pose_params is not None:
@@ -621,7 +664,9 @@ class PerceptionPipeline:
                     run(
                         self._limb_fn(kb, paf.shape),
                         paf,
-                        jnp.zeros((batch, NUM_PARTS, kb, 3), jnp.float32),
+                        self._put_batch(
+                            np.zeros((batch, NUM_PARTS, kb, 3), np.float32)
+                        ),
                     )
             else:
                 run(self._pose_fn(height, width),
@@ -637,6 +682,13 @@ class PerceptionPipeline:
             return jax.device_put(frames, batch_sharding(self.mesh))
         return jax.device_put(frames)
 
+    def _put_batch(self, array):
+        """Upload a host-built plan array, batch-sharded under a mesh."""
+        if self.mesh is not None:
+            return jax.device_put(np.asarray(array),
+                                  batch_sharding(self.mesh))
+        return jnp.asarray(array)
+
     def _stage(self, name, items=0):
         """Timing context for one pipeline stage (no-op without a timer)."""
         import contextlib
@@ -644,6 +696,24 @@ class PerceptionPipeline:
         if self.timer is None:
             return contextlib.nullcontext()
         return self.timer.stage(name, items)
+
+    def _dispatch_perception(self, frames_dev, top_k=None):
+        """Enqueue the detection program (and, in fused embed mode, the
+        embedding program) on resident frames and start the result
+        transfers. Returns the dict of in-flight device arrays."""
+        full_h, full_w = frames_dev.shape[1:3]
+        step = self._perception_fn(full_h, full_w, top_k)
+        out = dict(step(self.det_params, self.rec_params, frames_dev))
+        if "crops" in out:
+            out["emb_packed"] = self._embed_fn()(
+                self.rec_params, out.pop("crops"), out.pop("emb_mask_dev"),
+            )
+        # Start result transfers while later programs run ("_"-keys are
+        # device-resident inputs kept for later dispatches, not results).
+        for key, v in out.items():
+            if not key.startswith("_") and hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+        return out
 
     def process_batch(self, frames):
         """Run the full pipeline on an (N, H, W, 3) uint8 RGB batch.
@@ -673,25 +743,15 @@ class PerceptionPipeline:
         with stage("h2d", items=n):
             frames_dev = self.put_frames(frames)
 
-        step = self._perception_fn(full_h, full_w)
         with stage("perception_step", items=n):
-            out = dict(step(self.det_params, self.rec_params, frames_dev))
-        if "crops" in out:
-            with stage("embed", items=n):
-                out["emb_packed"] = self._embed_fn()(
-                    self.rec_params, out.pop("crops"),
-                    out.pop("emb_mask_dev"),
-                )
-        # Start result transfers while the pose program runs ("_"-keys are
-        # device-resident inputs kept for later dispatches, not results).
-        for key, v in out.items():
-            if not key.startswith("_") and hasattr(v, "copy_to_host_async"):
-                v.copy_to_host_async()
-        if (self.embed_dispatch == "adaptive" and self.with_embeddings
-                and self.rec_params is not None):
+            out = self._dispatch_perception(frames_dev)
+        if (self.max_escalations > 0
+                or (self.embed_dispatch == "adaptive" and self.with_embeddings
+                    and self.rec_params is not None)):
             # The adaptive embed program is dispatched in finalize_batch,
             # once the detection results (face count, landmarks) are on
-            # the host; the frames must stay resident until then.
+            # the host, and overflow escalation re-dispatches saturated
+            # batches; the frames must stay resident until then.
             out["_frames_dev"] = frames_dev
 
         pose_out = None
@@ -731,14 +791,39 @@ class PerceptionPipeline:
 
         det = np.asarray(out.pop("det_packed"))[:n]
         boxes, landmarks, scores, mask, overflow = unpack_detections(det)
+        # Overflow escalation: a saturated NMS pre-selection may have
+        # dropped real faces; re-dispatch the perception program at
+        # doubled top_k on the still-resident frames (the reference's
+        # dynamic shapes cannot drop detections).
+        top_k_used = self.top_k
+        attempts = 0
+        while (bool(overflow.any()) and frames_dev is not None
+               and attempts < self.max_escalations):
+            attempts += 1
+            top_k_used *= 2
+            self.escalations["detect"] += 1
+            with stage("detect_escalation", items=n):
+                out_esc = self._dispatch_perception(
+                    frames_dev, top_k=top_k_used
+                )
+                if "emb_packed" in out_esc:
+                    out["emb_packed"] = out_esc["emb_packed"]
+                det = np.asarray(out_esc.pop("det_packed"))[:n]
+                boxes, landmarks, scores, mask, overflow = (
+                    unpack_detections(det)
+                )
         out["boxes"] = boxes.astype(np.int32)
         out["landmarks"] = landmarks.astype(np.int32)
         out["scores"] = scores.astype(np.float32)
         out["mask"] = mask
         out["det_overflow"] = overflow
 
+        adaptive_embed = (
+            self.embed_dispatch == "adaptive" and self.with_embeddings
+            and self.rec_params is not None
+        )
         emb_plan = None
-        if frames_dev is not None:
+        if adaptive_embed and frames_dev is not None:
             # Dispatch the bucketed warp+embed now; it computes while the
             # pose fetch and host assembly below run.
             with stage("embed_dispatch", items=n):
@@ -747,20 +832,41 @@ class PerceptionPipeline:
         if pose_out is not None:
             if isinstance(pose_out, tuple) and pose_out[0] == "adaptive":
                 with stage("pose_fetch", items=n):
-                    peaks_np = np.asarray(pose_out[1])[:n]
+                    # Keep the FULL (padded) batch for the limb dispatch:
+                    # under a mesh the bucketed program runs over every
+                    # shard, padding rows included.
+                    peaks_np = np.asarray(pose_out[1])
+                paf_dev = pose_out[2]
+                # Escalation: a saturated part heatmap dropped its weakest
+                # peaks; re-run forward+peaks at doubled max_peaks.
+                mp_used = self.max_peaks
+                attempts = 0
+                while ((peaks_np[:n, :, 0, 4] > 0.5).any()
+                       and frames_dev is not None
+                       and attempts < self.max_escalations):
+                    attempts += 1
+                    mp_used *= 2
+                    self.escalations["pose"] += 1
+                    with stage("pose_escalation", items=n):
+                        pd = self._pose_detect_fn(
+                            frames_dev.shape[1], frames_dev.shape[2],
+                            mp_used,
+                        )
+                        peaks_dev, paf_dev = pd(self.pose_params, frames_dev)
+                        peaks_np = np.asarray(peaks_dev)
                 coords = peaks_np[..., :2].astype(np.int32)
                 scores = peaks_np[..., 2].astype(np.float32)
                 valid = peaks_np[..., 3] > 0.5
-                out["pose_overflow"] = (peaks_np[..., 0, 4] > 0.5).any(
-                    axis=-1
-                )
+                out["pose_overflow"] = (
+                    peaks_np[:n, :, 0, 4] > 0.5
+                ).any(axis=-1)
                 with stage("limb_dispatch", items=n):
                     kb, limbs_dev = self._dispatch_adaptive_limbs(
-                        pose_out[2], coords, valid
+                        paf_dev, coords, valid, cap=mp_used
                     )
-                coords = coords[:, :, :kb]
-                scores = scores[:, :, :kb]
-                valid = valid[:, :, :kb]
+                coords = coords[:n, :, :kb]
+                scores = scores[:n, :, :kb]
+                valid = valid[:n, :, :kb]
                 with stage("limb_fetch", items=n):
                     if limbs_dev is None:  # no peaks anywhere
                         reg = np.zeros(
@@ -781,7 +887,24 @@ class PerceptionPipeline:
                      pose_overflow) = unpack_pose_outputs(
                         *map(np.asarray, pose_out)
                     )
-                    out["pose_overflow"] = pose_overflow[:n].any(axis=-1)
+                mp_used = self.max_peaks
+                attempts = 0
+                while (pose_overflow[:n].any() and frames_dev is not None
+                       and attempts < self.max_escalations):
+                    attempts += 1
+                    mp_used *= 2
+                    self.escalations["pose"] += 1
+                    with stage("pose_escalation", items=n):
+                        decode = self._pose_fn(
+                            frames_dev.shape[1], frames_dev.shape[2],
+                            mp_used,
+                        )
+                        pose_out = decode(self.pose_params, frames_dev)
+                        (coords, scores, valid, reg, accept,
+                         pose_overflow) = unpack_pose_outputs(
+                            *map(np.asarray, pose_out)
+                        )
+                out["pose_overflow"] = pose_overflow[:n].any(axis=-1)
             with stage("pose_assembly", items=n):
                 poses = []
                 for i in range(n):
@@ -799,7 +922,7 @@ class PerceptionPipeline:
             emb = np.asarray(out.pop("emb_packed"))[:n]
             out["embeddings"] = emb[..., :-1]
             out["embeddings_mask"] = emb[..., -1] > 0.5
-        elif frames_dev is not None:
+        elif adaptive_embed:
             with stage("embed_fetch", items=n):
                 out["embeddings"], out["embeddings_mask"] = (
                     self._collect_adaptive_embed(emb_plan, n)
@@ -808,20 +931,21 @@ class PerceptionPipeline:
             out["poses"] = out["poses"][:n]
         return out
 
-    def _dispatch_adaptive_limbs(self, paf_dev, coords, valid):
+    def _dispatch_adaptive_limbs(self, paf_dev, coords, valid, cap=None):
         """Enqueue the bucketed limb-pair program.
 
         ``kb`` covers the busiest (image, part)'s valid-peak count (valid
-        peaks occupy prefix slots). Returns (kb, in-flight result), or
-        (1, None) when the whole batch produced no peaks — nothing to
-        score, and 1-slot all-invalid tables feed assembly the same way
-        the full program would.
+        peaks occupy prefix slots); ``cap`` is the peak capacity of the
+        program that produced ``coords`` (> max_peaks after escalation).
+        Returns (kb, in-flight result), or (1, None) when the whole batch
+        produced no peaks — nothing to score, and 1-slot all-invalid
+        tables feed assembly the same way the full program would.
         """
         counts = valid.sum(axis=-1)
         busiest = int(counts.max()) if counts.size else 0
         if busiest == 0:
             return 1, None
-        kb = self._select_peak_bucket(busiest)
+        kb = self._select_peak_bucket(busiest, cap)
         cv = np.concatenate(
             [
                 coords[:, :, :kb].astype(np.float32),
@@ -830,7 +954,7 @@ class PerceptionPipeline:
             axis=-1,
         )
         fn = self._limb_fn(kb, paf_dev.shape)
-        limbs = fn(paf_dev, jnp.asarray(cv))
+        limbs = fn(paf_dev, self._put_batch(cv))
         if hasattr(limbs, "copy_to_host_async"):
             limbs.copy_to_host_async()
         return kb, limbs
@@ -852,15 +976,27 @@ class PerceptionPipeline:
         found (no program runs at all — the reference's empty-input
         (0, 512) case, arcface/wrapper.py:159-164).
         """
-        mask = out["mask"][:, :self.max_faces]
-        lmks = out["landmarks"][:, :self.max_faces]
         # Slots are positional (NMS suppression leaves holes in the mask),
         # so the bucket must cover the highest OCCUPIED slot, not the count.
-        slot_no = np.arange(1, mask.shape[1] + 1)
-        busiest = int((mask * slot_no).max()) if mask.size else 0
+        mask_full = out["mask"]
+        slot_no = np.arange(1, mask_full.shape[1] + 1)
+        busiest = int((mask_full * slot_no).max()) if mask_full.size else 0
         if busiest == 0:
             return None
-        k = self._select_embed_bucket(busiest, self.max_faces)
+        # Capacity escalation: when a crowd occupies slots beyond
+        # max_faces, double the face capacity (up to max_escalations
+        # times, bounded by top_k) so those faces get embedded instead of
+        # silently skipped — parity with the reference, which flattens
+        # and embeds every detected face (arcface/wrapper.py:137-147).
+        capacity = self.max_faces
+        attempts = 0
+        while busiest > capacity and attempts < self.max_escalations:
+            attempts += 1
+            capacity = min(capacity * 2, mask_full.shape[1])
+            self.escalations["embed"] += 1
+        mask = mask_full[:, :capacity]
+        lmks = out["landmarks"][:, :capacity]
+        k = self._select_embed_bucket(min(busiest, capacity), capacity)
         b, fh, fw = frames_dev.shape[:3]
         packed = np.zeros((b, k, 9), np.float32)
         # Output corner pixel centres; their source images bound every
@@ -884,7 +1020,16 @@ class PerceptionPipeline:
         max_extent = float(
             (src.max(axis=1) - src.min(axis=1)).max()
         ) + 6
-        ws = next(
+        # Grouped-slab warp (4x fewer gather descriptors) when every face
+        # in the batch passes the span bound AND a window with the slab's
+        # extra margin exists; bit-identical (ops/warp.py).
+        grouped = bool(grouped_warp_eligible(mats).all())
+        ws_grouped = next(
+            (w for w in self.embed_windows
+             if w >= max_extent + (SLAB_W - 2) and w <= min(fh, fw)),
+            None,
+        ) if grouped else None
+        ws = ws_grouped if ws_grouped is not None else next(
             (w for w in self.embed_windows
              if w >= max_extent and w <= min(fh, fw)),
             None,
@@ -892,19 +1037,23 @@ class PerceptionPipeline:
         if ws is None:
             fn = self._warp_embed_fn(k, frames_dev.shape)
             emb = fn(self.rec_params, frames_dev,
-                     jnp.asarray(packed[..., :7]))
+                     self._put_batch(packed[..., :7]))
         else:
             packed[..., 7] = np.clip(packed[..., 7], 0, fh - ws)
             packed[..., 8] = np.clip(packed[..., 8], 0, fw - ws)
-            fn = self._warp_embed_window_fn(k, ws, frames_dev.shape)
-            emb = fn(self.rec_params, frames_dev, jnp.asarray(packed))
+            fn = self._warp_embed_window_fn(
+                k, ws, frames_dev.shape,
+                grouped=ws_grouped is not None,
+            )
+            emb = fn(self.rec_params, frames_dev, self._put_batch(packed))
         if hasattr(emb, "copy_to_host_async"):
             emb.copy_to_host_async()
         return emb
 
     def _collect_adaptive_embed(self, plan, n):
         """Fetch the adaptive embed result and place it in the
-        (n, max_faces, dim) grid the fused path produces."""
+        (n, >=max_faces, dim) grid the fused path produces (wider than
+        max_faces only when capacity escalation fired for this batch)."""
         from terran_tpu.face.recognition import EMBEDDING_DIM
 
         if plan is None:
@@ -915,8 +1064,9 @@ class PerceptionPipeline:
         emb = np.asarray(plan)[:n]
         k = emb.shape[1]
         dim = emb.shape[-1] - 1  # packed as features + validity flag
-        grid = np.zeros((n, self.max_faces, dim), np.float32)
-        grid_mask = np.zeros((n, self.max_faces), bool)
+        rows = max(self.max_faces, k)
+        grid = np.zeros((n, rows, dim), np.float32)
+        grid_mask = np.zeros((n, rows), bool)
         grid[:, :k] = emb[..., :dim]
         grid_mask[:, :k] = emb[..., dim] > 0.5
         return grid, grid_mask

@@ -23,12 +23,20 @@ class OpenPoseEstimator:
     CHECKPOINT_CLASS = "terran_tpu.pose.openpose.OpenPoseEstimator"
 
     def __init__(self, params=None, short_side=None, compute_dtype=None,
-                 device=None, max_peaks=None):
+                 device=None, max_peaks=None, max_escalations=None):
         cfg = get_config()
         short_side = cfg.pose_short_side if short_side is None else short_side
         max_peaks = (
             cfg.max_peaks_per_part if max_peaks is None else max_peaks
         )
+        # Overflow escalation: re-dispatch at doubled max_peaks when a part
+        # heatmap saturates the fixed peak capacity (the reference's
+        # dynamic peak lists cannot drop peaks, wrapper.py:235-262).
+        self.max_escalations = (
+            cfg.max_escalations if max_escalations is None
+            else max_escalations
+        )
+        self.escalation_count = 0
         if params is None:
             params = load_checkpoint_params(self.CHECKPOINT_CLASS)
         # Keep weights device-resident: converted params arrive as host numpy
@@ -56,14 +64,15 @@ class OpenPoseEstimator:
         self._decode_fns = {}
         self._resize_in, _ = resize_factory(short_side=short_side)
 
-    def _decode_fn(self, height, width):
-        key = (height, width)
+    def _decode_fn(self, height, width, max_peaks=None):
+        max_peaks = self.max_peaks if max_peaks is None else max_peaks
+        key = (height, width, max_peaks)
         if key not in self._decode_fns:
             self._decode_fns[key] = make_pose_decode(
                 self.model, height, width,
                 keypoint_threshold=self.keypoint_threshold,
                 thresh_midpoint=self.thresh_2,
-                max_peaks=self.max_peaks,
+                max_peaks=max_peaks,
                 downsampling_ratio=self.downsampling_ratio,
             )
         return self._decode_fns[key]
@@ -80,20 +89,30 @@ class OpenPoseEstimator:
         resized, scale = self._resize_in(images)
         n, h, w = resized.shape[:3]
 
-        decode = self._decode_fn(h, w)
-        peaks, limbs = decode(self.params, resized)
         from terran_tpu.ops.pose_decode import unpack_pose_outputs
 
-        coords, scores, valid, reg, accept, overflow = unpack_pose_outputs(
-            np.asarray(peaks), np.asarray(limbs)
-        )
+        max_peaks = self.max_peaks
+        for attempt in range(self.max_escalations + 1):
+            decode = self._decode_fn(h, w, max_peaks)
+            peaks, limbs = decode(self.params, resized)
+            (coords, scores, valid, reg, accept,
+             overflow) = unpack_pose_outputs(
+                np.asarray(peaks), np.asarray(limbs)
+            )
+            if not overflow.any() or attempt == self.max_escalations:
+                break
+            # Saturated: weakest peaks were dropped. Re-dispatch at doubled
+            # capacity (one-time compile per escalated max_peaks).
+            max_peaks *= 2
+            self.escalation_count += 1
         if overflow.any():
             from terran_tpu.utils.profiling import get_logger
 
             get_logger().warning(
-                "pose max_peaks=%d saturated on %d part heatmap(s); weakest "
-                "peaks were dropped — raise max_peaks_per_part",
-                self.max_peaks, int(overflow.sum()),
+                "pose max_peaks=%d saturated on %d part heatmap(s) even "
+                "after %d escalation(s); weakest peaks were dropped — raise "
+                "max_peaks_per_part or max_escalations",
+                max_peaks, int(overflow.sum()), self.max_escalations,
             )
 
         batch_objects = []

@@ -107,6 +107,32 @@ def set_default_policy(policy):
     _default_policy = policy
 
 
+def cast_params_for_compute(params, compute_dtype):
+    """Store float32 params in the compute dtype, once, at load time.
+
+    The flax layers run with ``dtype=compute_dtype`` and promote their
+    inputs — so float32-stored weights were being converted on EVERY
+    program execution: a full HBM read of the f32 copy plus VPU convert
+    (65 MB for ArcFace alone, measured as pure overhead on the hot path —
+    round-2 review item #1a). Converting at load time produces bitwise
+    the SAME compute (the promotion becomes a no-op) without the
+    per-execution traffic. float32 compute keeps f32 storage; non-float
+    leaves (none today) pass through.
+    """
+    import jax
+
+    compute_dtype = jnp.dtype(compute_dtype)
+    if compute_dtype == jnp.float32:
+        return params
+
+    def cast(x):
+        if getattr(x, "dtype", None) == jnp.float32:
+            return jnp.asarray(x).astype(compute_dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)
+
+
 # ---------------------------------------------------------------------------
 # Shape bucketing
 # ---------------------------------------------------------------------------

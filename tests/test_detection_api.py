@@ -152,3 +152,26 @@ def test_pad_buffer_cache_bounded(detector):
         detector.call(images, threshold=0.99)
     buffers = getattr(detector._pad_local, "buffers", {})
     assert len(buffers) <= 4
+
+
+def test_detector_escalates_on_topk_overflow(rng):
+    """A saturated top_k re-dispatches at doubled capacity and keeps the
+    faces the small program would have dropped (round-2 review item #4)."""
+    sd = random_retinaface_state_dict(np.random.default_rng(5))
+    params = convert_retinaface(sd)
+    images = rng.integers(0, 255, (1, 96, 96, 3), dtype=np.uint8)
+
+    big = RetinaFaceDetector(params=params, top_k=64, max_escalations=0)
+    out_big = big.call(images, threshold=0.5)[0]
+    assert len(out_big) > 8, "scene too sparse to exercise escalation"
+
+    esc = RetinaFaceDetector(params=params, top_k=8, max_escalations=3)
+    out_esc = esc.call(images, threshold=0.5)[0]
+    assert esc.escalation_count >= 1
+    assert len(out_esc) == len(out_big)
+    for fe, fb in zip(out_esc, out_big):
+        np.testing.assert_array_equal(fe["bbox"], fb["bbox"])
+
+    trunc = RetinaFaceDetector(params=params, top_k=8, max_escalations=0)
+    out_trunc = trunc.call(images, threshold=0.5)[0]
+    assert len(out_trunc) <= 8 < len(out_esc)

@@ -384,3 +384,75 @@ def test_writer_dead_thread_does_not_deadlock(tmp_path, monkeypatch):
         # Bounded queue holds 64; a dead consumer must raise, not block.
         for _ in range(200):
             writer.write_frame(frame)
+
+
+def test_youtube_dl_stream_resolution(monkeypatch):
+    """The optional youtube-dl URL resolution path (reader.py
+    _get_stream_path, mirroring reference reader.py:388-419), exercised
+    with a mocked youtube_dl module (round-2 review item #7): a matching
+    extractor resolves the stream URL, a non-matching one leaves the
+    path untouched, and extractor errors fall back to the raw path."""
+    import types
+
+    from terran_tpu.io.video import reader as reader_mod
+
+    resolved = {}
+
+    class FakeExtractor:
+        def __init__(self, match):
+            self._match = match
+
+        def suitable(self, url):
+            return self._match in url
+
+    class FakeYDL:
+        def __init__(self, options):
+            resolved["options"] = options
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def extract_info(self, url, download=False):
+            return {"url": f"https://cdn.example/{url.split('=')[-1]}.m3u8"}
+
+    fake = types.ModuleType("youtube_dl")
+    fake.gen_extractors = lambda: [FakeExtractor("youtube.com")]
+    fake.YoutubeDL = FakeYDL
+    fake.utils = types.SimpleNamespace(YoutubeDLError=RuntimeError)
+    monkeypatch.setitem(sys.modules, "youtube_dl", fake)
+
+    probed = {}
+
+    def fake_probe(path, **kwargs):
+        probed["path"] = path
+        return {
+            "streams": [{"codec_type": "video", "width": 64, "height": 48,
+                         "avg_frame_rate": "25/1"}],
+            "format": {},
+        }
+
+    monkeypatch.setattr(reader_mod, "ffmpeg_probe", fake_probe)
+
+    video = Video("https://youtube.com/watch?v=abc123", batch_size=2)
+    assert video.is_stream
+    assert video.stream_path == "https://cdn.example/abc123.m3u8"
+    assert probed["path"] == video.stream_path
+    assert resolved["options"]["format"] == "best"
+    video.close()
+
+    # Non-matching URL: no resolution, raw path probed.
+    video2 = Video("https://example.org/live.m3u8", batch_size=2)
+    assert video2.stream_path == "https://example.org/live.m3u8"
+    video2.close()
+
+    # Extractor blow-up: falls back to the raw path (reference parity).
+    def boom(url, download=False):
+        raise fake.utils.YoutubeDLError("nope")
+
+    FakeYDL.extract_info = staticmethod(boom)
+    video3 = Video("https://youtube.com/watch?v=zzz", batch_size=2)
+    assert video3.stream_path == "https://youtube.com/watch?v=zzz"
+    video3.close()

@@ -70,10 +70,17 @@ def tiny_pipeline_params():
 
 def _make_pipeline(params, mesh=None, **kwargs):
     det, rec, pose = params
+    # Escalation off by default: random weights score half the anchors
+    # above threshold, so these deliberately tiny capacities would
+    # escalate on every batch and the fixed result shapes the tests
+    # assert would grow. test_escalation_* cover the escalating paths.
+    kwargs.setdefault("max_escalations", 0)
+    kwargs.setdefault("top_k", 16)
+    kwargs.setdefault("max_faces", 4)
+    kwargs.setdefault("max_peaks", 8)
     return PerceptionPipeline(
         det_params=det, rec_params=rec, pose_params=pose,
-        det_short_side=64, pose_short_side=48, top_k=16, max_faces=4,
-        max_peaks=8, mesh=mesh, **kwargs,
+        det_short_side=64, pose_short_side=48, mesh=mesh, **kwargs,
     )
 
 
@@ -222,10 +229,14 @@ def test_embed_bucket_selection(tiny_pipeline_params):
     assert pipe._select_embed_bucket(3, 4) == 4
 
 
-def test_mesh_forces_fused_embed(tiny_pipeline_params):
+def test_mesh_defaults_to_adaptive_embed(tiny_pipeline_params):
+    """'auto' resolves to adaptive under a mesh too: the per-batch bucket
+    is uniform across shards, so the mesh no longer silently downgrades
+    to worst-case full-capacity programs (round-2 review item #3)."""
     mesh = create_mesh(8)
     pipe = _make_pipeline(tiny_pipeline_params, mesh=mesh)
-    assert pipe.embed_dispatch == "fused"
+    assert pipe.embed_dispatch == "adaptive"
+    assert pipe.limb_dispatch == "adaptive"
 
 
 def test_adaptive_limbs_match_fused(tiny_pipeline_params, rng):
@@ -269,14 +280,32 @@ def test_peak_bucket_selection(tiny_pipeline_params):
     assert pipe._select_peak_bucket(5) == 8
 
 
-def test_adaptive_with_mesh_raises(tiny_pipeline_params):
+def test_adaptive_mesh_matches_fused_mesh(tiny_pipeline_params, rng):
+    """Explicit adaptive dispatch under a mesh runs the bucketed programs
+    with batch shardings and must reproduce the fused mesh path."""
     mesh = create_mesh(8)
-    with pytest.raises(ValueError, match="incompatible with a mesh"):
-        _make_pipeline(tiny_pipeline_params, mesh=mesh,
-                       embed_dispatch="adaptive")
-    with pytest.raises(ValueError, match="incompatible with a mesh"):
-        _make_pipeline(tiny_pipeline_params, mesh=mesh,
-                       limb_dispatch="adaptive")
+    frames = rng.integers(0, 255, (8, 96, 128, 3), dtype=np.uint8)
+    adaptive = _make_pipeline(
+        tiny_pipeline_params, mesh=mesh,
+        embed_dispatch="adaptive", limb_dispatch="adaptive",
+    ).process_batch(frames)
+    fused = _make_pipeline(
+        tiny_pipeline_params, mesh=mesh,
+        embed_dispatch="fused", limb_dispatch="fused",
+    ).process_batch(frames)
+    np.testing.assert_array_equal(adaptive["boxes"], fused["boxes"])
+    k = adaptive["embeddings"].shape[1]
+    occupied = fused["embeddings_mask"][:, :k]
+    np.testing.assert_array_equal(
+        adaptive["embeddings_mask"][:, :k], occupied
+    )
+    np.testing.assert_allclose(
+        adaptive["embeddings"][:, :k][occupied],
+        fused["embeddings"][:, :k][occupied], atol=2e-5,
+    )
+    assert [len(p) for p in adaptive["poses"]] == [
+        len(p) for p in fused["poses"]
+    ]
 
 
 def test_windowed_embed_matches_full_frame(tiny_pipeline_params, rng):
@@ -305,10 +334,36 @@ def test_windowed_embed_matches_full_frame(tiny_pipeline_params, rng):
     win_keys = set(pipe._warp_embed_fns) - full_keys
 
     assert all(len(k) == 5 for k in full_keys)       # (k, b, h, w, c)
-    assert any(len(k) == 6 for k in win_keys)        # (k, ws, b, h, w, c)
+    # (k, ws, grouped, b, h, w, c); these small upright faces pass the
+    # grouped-slab eligibility, so the 4x-fewer-descriptor program runs.
+    assert any(len(k) == 7 and k[2] is True for k in win_keys)
     np.testing.assert_array_equal(
         np.asarray(plan_win), np.asarray(plan_full)
     )
+
+
+def test_rotated_faces_fall_back_to_per_pixel_window(
+        tiny_pipeline_params, rng):
+    """A face beyond the grouped-slab span bound (strong rotation) keeps
+    the batch on the per-pixel windowed program — results first."""
+    pipe = _make_pipeline(tiny_pipeline_params)
+    frames = rng.integers(0, 255, (1, 300, 400, 3), dtype=np.uint8)
+    frames_dev = pipe.put_frames(frames)
+    theta = 0.9  # ~50 degrees: |m10| far beyond 1/3
+    rot = np.array([[np.cos(theta), -np.sin(theta)],
+                    [np.sin(theta), np.cos(theta)]])
+    lmks = np.zeros((1, pipe.max_faces, 5, 2), np.int32)
+    mask = np.zeros((1, pipe.max_faces), bool)
+    lmks[0, 0] = np.round(
+        (ARCFACE_TEMPLATE - 56) @ rot.T + 150
+    ).astype(np.int32)
+    mask[0, 0] = True
+    out = {"mask": mask, "landmarks": lmks}
+
+    pipe.embed_windows = [256]
+    pipe._dispatch_adaptive_embed(out, frames_dev, 1)
+    win_keys = [k for k in pipe._warp_embed_fns if len(k) == 7]
+    assert win_keys and all(k[2] is False for k in win_keys)
 
 
 def test_windowed_embed_falls_back_for_oversized_faces(
@@ -334,9 +389,10 @@ def test_warmup_compiles_program_family(tiny_pipeline_params):
     pipe.peak_buckets = [4]
     pipe.embed_windows = [64]
     n = pipe.warmup(batch=2, height=96, width=128)
-    # detection + embed (k=2, k=4=max_faces) x (window 64 + full-frame)
-    # + pose detect + limbs (kb=4, kb=8=max_peaks)
-    assert n == 1 + 2 * 2 + 1 + 2
+    # detection + embed (k=2, k=4=max_faces) x (window 64 grouped +
+    # window 64 per-pixel + full-frame) + pose detect + limbs (kb=4,
+    # kb=8=max_peaks)
+    assert n == 1 + 2 * 3 + 1 + 2
     # Subsequent batches find every program already cached.
     step_keys = set(pipe._step_fns)
     we_keys = set(pipe._warp_embed_fns)
@@ -351,7 +407,10 @@ def test_warmup_compiles_program_family(tiny_pipeline_params):
 
 def test_warmup_fused_and_mesh(tiny_pipeline_params):
     mesh = create_mesh(8)
-    pipe = _make_pipeline(tiny_pipeline_params, mesh=mesh)
+    pipe = _make_pipeline(
+        tiny_pipeline_params, mesh=mesh,
+        embed_dispatch="fused", limb_dispatch="fused",
+    )
     # Non-divisible batch: warmup must pad like dispatch_batch does.
     n = pipe.warmup(batch=6, height=96, width=128)
     assert n == 3  # perception (with fused warp), embed, pose
@@ -360,3 +419,98 @@ def test_warmup_fused_and_mesh(tiny_pipeline_params):
     out = pipe.process_batch(frames)
     assert set(pipe._step_fns) == step_keys
     assert out["embeddings"].shape == (6, 4, 512)
+
+
+def test_fused_peaks_under_mesh_matches_xla_path(tiny_pipeline_params, rng):
+    """The Pallas peak kernel runs per shard via shard_map under a mesh
+    (round-2 review item #3b); forced on (interpret mode on CPU), it must
+    reproduce the XLA materialise-and-top_k path."""
+    mesh = create_mesh(8)
+    frames = rng.integers(0, 255, (8, 96, 128, 3), dtype=np.uint8)
+
+    plain = _make_pipeline(tiny_pipeline_params, mesh=mesh)
+    assert not plain.use_fused_peaks  # 'auto' is TPU-only
+    out_plain = plain.process_batch(frames)
+
+    fused = _make_pipeline(tiny_pipeline_params, mesh=mesh)
+    fused.use_fused_peaks = True
+    out_fused = fused.process_batch(frames)
+
+    assert len(out_fused["poses"]) == len(out_plain["poses"]) == 8
+    for pf, pp in zip(out_fused["poses"], out_plain["poses"]):
+        assert len(pf) == len(pp)
+        for hf, hp in zip(pf, pp):
+            np.testing.assert_array_equal(hf["keypoints"], hp["keypoints"])
+
+
+def test_escalation_detect_recovers_saturated_batch(tiny_pipeline_params,
+                                                    rng):
+    """A top_k too small for the scene escalates to doubled capacity and
+    reproduces the results a big-enough program gives (round-2 review
+    item #4). Random weights make every frame a "crowd"."""
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    big = _make_pipeline(tiny_pipeline_params, top_k=256)
+    out_big = big.process_batch(frames)
+    assert not out_big["det_overflow"].any(), "need a non-saturated target"
+
+    esc = _make_pipeline(tiny_pipeline_params, top_k=64, max_escalations=2)
+    out_esc = esc.process_batch(frames)
+    assert esc.escalations["detect"] >= 1
+    assert not out_esc["det_overflow"].any()
+    k = out_esc["boxes"].shape[1]
+    np.testing.assert_array_equal(out_esc["mask"], out_big["mask"][:, :k])
+    np.testing.assert_array_equal(out_esc["boxes"], out_big["boxes"][:, :k])
+
+    # Without escalation the same capacity saturates and truncates.
+    trunc = _make_pipeline(tiny_pipeline_params, top_k=64)
+    out_trunc = trunc.process_batch(frames)
+    assert out_trunc["det_overflow"].any()
+    assert out_trunc["boxes"].shape[1] == 64
+
+
+def test_escalation_pose_recovers_dropped_peaks(tiny_pipeline_params, rng):
+    """max_peaks saturation re-dispatches forward+peaks at doubled
+    capacity; poses must match a natively big-enough pipeline."""
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    big = _make_pipeline(tiny_pipeline_params, max_peaks=32)
+    out_big = big.process_batch(frames)
+    assert not out_big["pose_overflow"].any(), "need a non-saturated target"
+
+    esc = _make_pipeline(tiny_pipeline_params, max_peaks=8,
+                         max_escalations=2)
+    out_esc = esc.process_batch(frames)
+    assert esc.escalations["pose"] >= 1
+    assert not out_esc["pose_overflow"].any()
+    assert [len(p) for p in out_esc["poses"]] == [
+        len(p) for p in out_big["poses"]
+    ]
+    for pe, pb in zip(out_esc["poses"], out_big["poses"]):
+        for he, hb in zip(pe, pb):
+            np.testing.assert_array_equal(he["keypoints"], hb["keypoints"])
+
+
+def test_escalation_embed_covers_crowd(tiny_pipeline_params, rng):
+    """Faces occupying slots beyond max_faces get embedded at doubled
+    capacity instead of being silently skipped."""
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    big = _make_pipeline(tiny_pipeline_params, max_faces=4)
+    out_big = big.process_batch(frames)
+    occupied = int(
+        (out_big["mask"] * np.arange(1, out_big["mask"].shape[1] + 1)).max()
+    )
+    assert occupied > 2, "scene too sparse to exercise embed escalation"
+
+    esc = _make_pipeline(tiny_pipeline_params, max_faces=2,
+                         max_escalations=1)
+    out_esc = esc.process_batch(frames)
+    assert esc.escalations["embed"] >= 1
+    k = min(out_esc["embeddings"].shape[1], out_big["embeddings"].shape[1])
+    assert k > 2  # grid grew past max_faces
+    np.testing.assert_array_equal(
+        out_esc["embeddings_mask"][:, :k], out_big["embeddings_mask"][:, :k]
+    )
+    both = out_esc["embeddings_mask"][:, :k]
+    np.testing.assert_allclose(
+        out_esc["embeddings"][:, :k][both],
+        out_big["embeddings"][:, :k][both], atol=2e-4,
+    )

@@ -50,3 +50,23 @@ def test_estimation_task_merge_adjustment(estimator, rng):
     # List of unequal sizes goes through the pad-merge path.
     out2 = task([image, image[:120]])
     assert len(out2) == 2
+
+
+def test_wrapper_escalates_on_peak_overflow(rng):
+    """A saturated max_peaks re-dispatches at doubled capacity and matches
+    a natively big-enough wrapper (round-2 review item #4)."""
+    sd = random_openpose_state_dict(np.random.default_rng(21))
+    params = convert_openpose(sd)
+    images = rng.integers(0, 255, (1, 192, 256, 3), dtype=np.uint8)
+
+    big = OpenPoseEstimator(params=params, short_side=96, max_peaks=16,
+                            max_escalations=0)
+    out_big = big.call(images)
+
+    esc = OpenPoseEstimator(params=params, short_side=96, max_peaks=4,
+                            max_escalations=2)
+    out_esc = esc.call(images)
+    assert esc.escalation_count >= 1
+    assert len(out_esc[0]) == len(out_big[0])
+    for he, hb in zip(out_esc[0], out_big[0]):
+        np.testing.assert_array_equal(he["keypoints"], hb["keypoints"])

@@ -58,3 +58,30 @@ def test_display_image_uses_feh_then_matplotlib(monkeypatch, rng):
     monkeypatch.setattr("terran_tpu.vis.run", fake_run)
     display_image(rng.integers(0, 255, (4, 4, 3), dtype=np.uint8))
     assert calls == ["feh"]
+
+
+def test_cairo_backend_renders_scene(rng):
+    """Pixel-level exercise of the Cairo renderer (vis/cairo.py) — runs
+    wherever pycairo is installed (the `cairo` extra); this sandbox has
+    no pycairo, so the module otherwise never executes (round-2 review
+    item #7). Checks that faces and poses actually rasterise pixels and
+    the canvas round-trips RGB<->BGRA correctly."""
+    pytest.importorskip("cairo")
+    from terran_tpu.vis.cairo import vis_faces as cairo_faces
+    from terran_tpu.vis.cairo import vis_poses as cairo_poses
+
+    image = np.zeros((120, 160, 3), np.uint8)
+    faces = [{"bbox": np.array([20, 20, 80, 90]), "score": 0.9,
+              "name": "test"}]
+    out = cairo_faces(image, faces)
+    assert out.shape == image.shape and out.dtype == np.uint8
+    assert (out != image).any(), "face markers drew nothing"
+
+    kps = np.zeros((18, 3), np.int32)
+    kps[0] = (60, 30, 1)   # nose
+    kps[1] = (60, 50, 1)   # neck
+    kps[2] = (40, 50, 1)   # r shoulder
+    kps[5] = (80, 50, 1)   # l shoulder
+    poses = [{"keypoints": kps, "score": 1.0}]
+    out2 = cairo_poses(image, poses)
+    assert (out2 != image).any(), "pose limbs drew nothing"

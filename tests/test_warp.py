@@ -153,3 +153,64 @@ def test_alignment_matrices_batched_matches_scalar(rng):
         np.testing.assert_array_equal(
             batched[i], alignment_matrix(lmks[i])
         )
+
+
+def test_grouped_warp_bit_identical(rng):
+    """The grouped-slab warp (one (3, 6, C) gather per 4 output pixels —
+    4x fewer descriptors on TPU) must be BIT-identical to the per-pixel
+    path for every matrix passing grouped_warp_eligible, including faces
+    overlapping the frame border (edge replication + fill)."""
+    import jax.numpy as jnp
+
+    from terran_tpu.ops.warp import (
+        grouped_warp_eligible,
+        warp_affine,
+        warp_affine_windowed_grouped,
+    )
+
+    H, W, WS = 500, 600, 256
+    frame = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    corners = np.array([[0.5, 0.5], [111.5, 0.5],
+                        [0.5, 111.5], [111.5, 111.5]])
+
+    checked = 0
+    for trial in range(60):
+        s = rng.uniform(0.3, 1.3)
+        th = rng.uniform(-0.25, 0.25)
+        # Mix interior faces with corner-overlapping ones.
+        if trial % 3 == 0:
+            cx, cy = rng.uniform(-20, 40), rng.uniform(-20, 40)
+        else:
+            cx, cy = rng.uniform(120, W - 120), rng.uniform(120, H - 120)
+        m = np.array(
+            [[s * np.cos(th), -s * np.sin(th), cx],
+             [s * np.sin(th), s * np.cos(th), cy]], np.float32
+        )
+        if not grouped_warp_eligible(m[None])[0]:
+            continue
+        src = corners @ m[:, :2].T + m[:, 2]
+        if (src.max(axis=0) - src.min(axis=0)).max() + 10 > WS:
+            continue
+        lo = np.floor(src.min(axis=0)) - 3
+        oy = int(np.clip(lo[1], 0, H - WS))
+        ox = int(np.clip(lo[0], 0, W - WS))
+        ref = np.asarray(warp_affine(jnp.asarray(frame), jnp.asarray(m)))
+        got = np.asarray(warp_affine_windowed_grouped(
+            jnp.asarray(frame[oy:oy + WS, ox:ox + WS]), jnp.asarray(m),
+            jnp.asarray([oy, ox]), H, W,
+        ))
+        np.testing.assert_array_equal(got, ref)
+        checked += 1
+    assert checked >= 30
+
+
+def test_grouped_warp_eligibility_bounds():
+    from terran_tpu.ops.warp import grouped_warp_eligible
+
+    # m00 span: 3 * 1.33 = 3.99 <= 4 eligible; 3 * 1.34 > 4 not.
+    ok = np.array([[[1.33, 0, 0], [0.0, 1.33, 0]]])
+    too_wide = np.array([[[1.35, 0, 0], [0.0, 1.35, 0]]])
+    tilted = np.array([[[1.0, 0, 0], [0.4, 1.0, 0]]])  # m10 too big
+    assert grouped_warp_eligible(ok)[0]
+    assert not grouped_warp_eligible(too_wide)[0]
+    assert not grouped_warp_eligible(tilted)[0]

@@ -69,21 +69,31 @@ def test_assemble_humans_empty(rng):
 
 
 def test_native_speedup_sanity(rng):
-    """The native path should not be slower than Python (soft check)."""
+    """The native path should not be slower than Python (soft check).
+
+    Best-of-3 after a warm call on each path: a single-shot comparison is
+    flaky under a loaded machine (first native call also pays the ctypes
+    library load), and this test shares the box with the rest of the
+    suite.
+    """
     import time
 
     coords, scores, valid, reg, accept = random_decode_outputs(
         rng, k=32, peak_prob=0.9, accept_prob=0.3
     )
-    t0 = time.perf_counter()
-    assembly.assemble_humans(coords, scores, valid, reg, accept,
-                             use_native=False)
-    py_time = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    assembly.assemble_humans(coords, scores, valid, reg, accept,
-                             use_native=True)
-    native_time = time.perf_counter() - t0
-    assert native_time < py_time
+
+    def best_of(use_native, reps=3):
+        assembly.assemble_humans(coords, scores, valid, reg, accept,
+                                 use_native=use_native)  # warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            assembly.assemble_humans(coords, scores, valid, reg, accept,
+                                     use_native=use_native)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    assert best_of(True) < best_of(False)
 
 
 def test_assemble_humans_matches_python_dense(rng):

@@ -10,8 +10,8 @@ overlapping compute and result downloads), and prints ONE JSON line with:
 - ``device_only_fps`` / ``achieved_tflops`` / ``mfu``: steady-state
   throughput of the three jitted programs with frames already resident in
   HBM — the transfer-independent number. ``mfu`` is achieved FLOP/s over
-  the measured 369 TFLOP/s bf16 peak of this chip (override via
-  BENCH_PEAK_TFLOPS).
+  the measured 190.7 TFLOP/s bf16 matmul peak of this chip (spec 197;
+  benchmarks/peak.py, slope-timed — override via BENCH_PEAK_TFLOPS).
 - ``h2d_gbps`` / ``roundtrip_ms``: link microbenchmarks that bound the
   end-to-end number in this environment (the host<->TPU path here is a
   tunneled relay whose bandwidth swings by orders of magnitude; see
@@ -51,8 +51,11 @@ sys.path.insert(0, str(Path(__file__).parent / "tests"))
 # CPU at the same settings = 0.243 frames/sec.
 REFERENCE_CPU_FPS = 0.243
 
-# Measured bf16 matmul peak of the chip in this environment (CLAUDE.md).
-DEFAULT_PEAK_TFLOPS = 369.0
+# Measured bf16 matmul peak of the chip (benchmarks/peak.py, slope-timed:
+# 190.7 sustained at 16384^3, v5e spec 197). Rounds 1-2 recorded "369"
+# here, which tracks the chip's INT8 peak (measured 380, spec 394) — an
+# artifact of the old amortised timer; MFU was under-reported ~2x.
+DEFAULT_PEAK_TFLOPS = 190.7
 
 
 def _load_params():

@@ -4,14 +4,20 @@ Through a tunneled/relayed TPU runtime, per-dispatch timing loops measure
 the RPC path, not the device: dispatch latency swings 1-35 ms between
 sessions, and `block_until_ready` on this relay returns before execution
 finishes (only fetching result BYTES forces completion — measured here by
-comparing against the chip's 369 TFLOP/s peak: a dispatch-loop "0.8 ms"
-embed implies 1800+ TFLOP/s, which is impossible).
+comparing against the chip's ~191 TFLOP/s bf16 peak (benchmarks/peak.py):
+a dispatch-loop "0.8 ms" embed implies 1800+ TFLOP/s, which is
+impossible).
 
-`scan_time(fn, args, iters)` wraps ``fn`` in a `lax.scan` whose carry
-perturbs one array input each step (so XLA cannot hoist the body or CSE the
-iterations), dispatches ONCE, fetches one scalar, and divides. The result
-is device wall-time per iteration with a single RPC round trip amortised
-over all iterations.
+`scan_time(fn, args, iters)` wraps ``fn`` in a device loop whose carry
+perturbs one array input each step (so XLA cannot hoist the body or CSE
+the iterations). The loop's trip count is a RUNTIME argument
+(`lax.while_loop`), so ONE compiled program is timed at two different
+counts and the per-iteration time is the slope between them — the
+dispatch+fetch round trip (30-45 ms on this relay, session-dependent)
+cancels exactly instead of being amortised. Earlier rounds divided a
+single dispatch by ``iters``, which silently adds RPC/iters (~2 ms at
+iters=16) to every number; the slope form removes that bias with the
+same single compile.
 
 Usage: `python benchmarks/device_time.py` prints the per-program device
 times of the three pipeline programs at 1080p batch 8 as one JSON line.
@@ -23,44 +29,71 @@ import time
 import numpy as np
 
 
-def scan_time(fn, args, *, perturb_index=0, iters=32, warm=True):
-    """Median-free single-shot device timing of ``fn(*args)``.
+def scan_time(fn, args, *, perturb_index=0, iters=32, warm=True, reps=3):
+    """Slope-timed device cost of ``fn(*args)``.
 
     fn must be jit-compatible; args[perturb_index] must be an array whose
-    first element can be bumped by an iteration counter (keeps every scan
-    step distinct). Returns (ms_per_iter, result_of_last_iter_scalar).
+    first element can be bumped by an iteration counter (keeps every loop
+    step distinct). The body runs ``iters`` times and ``iters // 4``
+    times (same compiled program, runtime trip count), each timed
+    best-of-``reps``; the per-iteration ms is the slope, which cancels
+    the constant dispatch+fetch term. Returns (ms_per_iter,
+    accumulated_total_of_a_full_iters_run).
     """
     import jax
     import jax.numpy as jnp
 
     args = list(args)
-    base = jnp.asarray(args[perturb_index])
 
     @jax.jit
-    def many(*a):
+    def many(n, *a):
         x0 = jnp.asarray(a[perturb_index])
 
-        def body(carry, i):
+        def body(carry):
+            i, acc = carry
             x = x0 + i.astype(x0.dtype)  # distinct input per step
             inner = list(a)
             inner[perturb_index] = x
             out = fn(*inner)
             leaves = jax.tree_util.tree_leaves(out)
-            acc = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-            return carry + acc, ()
+            s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+            return i + 1, acc + s
 
-        total, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32),
-            jnp.arange(iters, dtype=jnp.int32),
+        _, total = jax.lax.while_loop(
+            lambda c: c[0] < n,
+            body,
+            (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32)),
         )
         return total
 
-    if warm:
-        float(np.asarray(many(*args)))  # compile + one full execution
-    t0 = time.perf_counter()
-    val = float(np.asarray(many(*args)))
-    elapsed = time.perf_counter() - t0
-    return elapsed / iters * 1000.0, val
+    n_hi = jnp.asarray(iters, jnp.int32)
+    n_lo = jnp.asarray(max(1, iters // 4), jnp.int32)
+    # Compile + one full execution; also the returned accumulator (the
+    # tests pin its value to prove every step saw a distinct input).
+    val = float(np.asarray(many(n_hi, *args)))
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            float(np.asarray(many(n, *args)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    if not warm:
+        # Timing that includes no prior execution is impossible here (the
+        # accumulator run above already executed); kept for API compat.
+        pass
+    t_lo = timed(n_lo)
+    t_hi = timed(n_hi)
+    steps = int(n_hi) - int(n_lo)
+    if steps <= 0:
+        return t_hi / max(int(n_hi), 1) * 1000.0, val
+    ms = (t_hi - t_lo) / steps * 1000.0
+    # Relay jitter can make the short run measure longer than the long
+    # one for near-empty bodies; clamp to a non-negative epsilon rather
+    # than report a negative time.
+    return max(ms, 1e-4), val
 
 
 def scalar_roundtrip_ms(iters=7):
@@ -174,15 +207,25 @@ def main():
         # gather geometry.
         import jax.numpy as jnp
 
+        from terran_tpu.ops.warp import SLAB_W, grouped_warp_eligible
+
         ws = next((w for w in pipeline.embed_windows
                    if w <= min(height, width)), None)
         if ws is not None:
             packed = jnp.asarray(synthetic_embed_packed(
                 batch, pipeline.max_faces, height, width, window=ws
             ))
+            # Mirror the pipeline's dispatch (pipeline.py
+            # _dispatch_adaptive_embed): grouped-slab program when every
+            # face passes the span bound and the window has the slab
+            # margin — which is what production would run on this plan.
+            mats = np.asarray(packed[..., :6]).reshape(-1, 2, 3)
+            grouped = bool(grouped_warp_eligible(mats).all())
             we = pipeline._warp_embed_window_fn(
-                pipeline.max_faces, ws, fd.shape
+                pipeline.max_faces, ws, fd.shape, grouped=grouped
             )
+            print(f"# embed program: window={ws} grouped={grouped}",
+                  file=_sys.stderr, flush=True)
         else:
             packed = jnp.asarray(synthetic_embed_packed(
                 batch, pipeline.max_faces, height, width

@@ -17,7 +17,9 @@ from terran_tpu.checkpoint import get_class_for_checkpoint, load_checkpoint_para
 from terran_tpu.config import get_config
 from terran_tpu.models.retinaface import RetinaFace as RetinaFaceModel
 from terran_tpu.models.retinaface import make_detect_fn, unpack_detections
-from terran_tpu.runtime import bucket_shape, default_policy
+from terran_tpu.runtime import (
+    PARAMS_KEEP_F32, bucket_shape, cast_params_for_compute, default_policy,
+)
 from terran_tpu.utils.batching import merge_factory, resize_factory
 
 TASK_NAME = "face-detection"
@@ -63,6 +65,13 @@ class RetinaFaceDetector:
         # ``device`` (a jax.Device) selects the chip, like the reference's
         # torch device kwarg; default is the first accelerator.
         import jax
+        dtype = compute_dtype or default_policy().compute_dtype
+        # Pre-cast f32 weights to the compute dtype (bit-identical to the
+        # cast the layers do per execution, minus the per-execution HBM
+        # read of the f32 copy — runtime.cast_params_for_compute).
+        params = cast_params_for_compute(
+            params, dtype, keep_f32=PARAMS_KEEP_F32["retinaface"]
+        )
         self.params = (
             jax.device_put(params, device) if device is not None
             else jax.device_put(params)
@@ -71,7 +80,6 @@ class RetinaFaceDetector:
         self.nms_threshold = nms_threshold
         self.top_k = top_k
         self.bucketing = bucketing
-        dtype = compute_dtype or default_policy().compute_dtype
         self.model = RetinaFaceModel(compute_dtype=dtype)
         self._detect_fns = {}
         # Per-thread pad buffers: reuse avoids a fresh ~n*bh*bw*3

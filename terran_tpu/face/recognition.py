@@ -24,7 +24,9 @@ from terran_tpu.checkpoint import get_class_for_checkpoint, load_checkpoint_para
 from terran_tpu.config import get_config
 from terran_tpu.models.arcface import FaceResNet100, normalize_embeddings
 from terran_tpu.ops.warp import alignment_matrices, warp_affine_batch
-from terran_tpu.runtime import default_policy
+from terran_tpu.runtime import (
+    PARAMS_KEEP_F32, cast_params_for_compute, default_policy,
+)
 
 TASK_NAME = "face-recognition"
 
@@ -74,13 +76,19 @@ class ArcFaceRecognizer:
         # ``device`` (a jax.Device) selects the chip, like the reference's
         # torch device kwarg; default is the first accelerator.
         import jax
+        dtype = compute_dtype or default_policy().compute_dtype
+        # Pre-cast f32 weights to the compute dtype (bit-identical, minus
+        # the per-execution HBM read of the 65 MB f32 copy); the f32-
+        # accumulated 'embed' Dense stays f32 (PARAMS_KEEP_F32).
+        params = cast_params_for_compute(
+            params, dtype, keep_f32=PARAMS_KEEP_F32["arcface"]
+        )
         self.params = (
             jax.device_put(params, device) if device is not None
             else jax.device_put(params)
         )
         self.device = device
         self.image_side = image_side
-        dtype = compute_dtype or default_policy().compute_dtype
         self.model = FaceResNet100(compute_dtype=dtype)
         self._embed_fns = {}
         self._align_embed_fns = {}

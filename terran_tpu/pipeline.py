@@ -57,7 +57,9 @@ from terran_tpu.parallel.mesh import (
     batch_sharding, pad_batch_to_multiple, replicated_sharding,
 )
 from terran_tpu.pose.assembly import assemble_humans, get_keypoints
-from terran_tpu.runtime import default_policy
+from terran_tpu.runtime import (
+    PARAMS_KEEP_F32, cast_params_for_compute, default_policy,
+)
 
 
 def _resolve_dispatch(name, mode, mesh):
@@ -148,12 +150,22 @@ class PerceptionPipeline:
             put = lambda p: jax.device_put(p, replicated_sharding(mesh))
         else:
             put = jax.device_put
-        self.det_params = put(det_params)
+        # Pre-cast f32 weights to the compute dtype once (bit-identical to
+        # the per-execution cast the layers do; saves the per-execution
+        # HBM read of the f32 copy — runtime.cast_params_for_compute).
+        cast = cast_params_for_compute
+        self.det_params = put(
+            cast(det_params, dtype, keep_f32=PARAMS_KEEP_F32["retinaface"])
+        )
         self.rec_params = (
-            put(rec_params) if rec_params is not None else None
+            put(cast(rec_params, dtype,
+                     keep_f32=PARAMS_KEEP_F32["arcface"]))
+            if rec_params is not None else None
         )
         self.pose_params = (
-            put(pose_params) if pose_params is not None else None
+            put(cast(pose_params, dtype,
+                     keep_f32=PARAMS_KEEP_F32["openpose"]))
+            if pose_params is not None else None
         )
 
         # Dispatch modes: 'adaptive' sizes the warp+embed program to the

@@ -14,7 +14,9 @@ from terran_tpu.config import get_config
 from terran_tpu.models.openpose import BodyPoseModel
 from terran_tpu.ops.pose_decode import make_pose_decode
 from terran_tpu.pose.assembly import assemble_humans, get_keypoints
-from terran_tpu.runtime import default_policy
+from terran_tpu.runtime import (
+    PARAMS_KEEP_F32, cast_params_for_compute, default_policy,
+)
 from terran_tpu.utils.batching import resize_factory
 
 
@@ -45,6 +47,12 @@ class OpenPoseEstimator:
         # ``device`` (a jax.Device) selects the chip, like the reference's
         # torch device kwarg; default is the first accelerator.
         import jax
+        dtype = compute_dtype or default_policy().compute_dtype
+        # Pre-cast f32 weights to the compute dtype (bit-identical, minus
+        # the per-execution HBM read of the f32 copy).
+        params = cast_params_for_compute(
+            params, dtype, keep_f32=PARAMS_KEEP_F32["openpose"]
+        )
         self.params = (
             jax.device_put(params, device) if device is not None
             else jax.device_put(params)
@@ -59,7 +67,6 @@ class OpenPoseEstimator:
         self.human_threshold = cfg.human_score_threshold
         self.downsampling_ratio = 8
 
-        dtype = compute_dtype or default_policy().compute_dtype
         self.model = BodyPoseModel(compute_dtype=dtype)
         self._decode_fns = {}
         self._resize_in, _ = resize_factory(short_side=short_side)

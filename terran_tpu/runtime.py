@@ -107,30 +107,42 @@ def set_default_policy(policy):
     _default_policy = policy
 
 
-def cast_params_for_compute(params, compute_dtype):
+def cast_params_for_compute(params, compute_dtype, keep_f32=()):
     """Store float32 params in the compute dtype, once, at load time.
 
-    The flax layers run with ``dtype=compute_dtype`` and promote their
-    inputs — so float32-stored weights were being converted on EVERY
+    The flax layers run with ``dtype=compute_dtype`` and cast their
+    params — so float32-stored weights were being converted on EVERY
     program execution: a full HBM read of the f32 copy plus VPU convert
-    (65 MB for ArcFace alone, measured as pure overhead on the hot path —
-    round-2 review item #1a). Converting at load time produces bitwise
-    the SAME compute (the promotion becomes a no-op) without the
-    per-execution traffic. float32 compute keeps f32 storage; non-float
-    leaves (none today) pass through.
+    (65 MB for ArcFace alone — round-2 review item #1a). Converting at
+    load time produces bitwise the SAME compute (the layer's cast
+    becomes a no-op) without the per-execution traffic.
+
+    ``keep_f32``: module names whose subtree must STAY float32 because
+    the layer deliberately computes in f32 (ArcFace's 'embed' Dense
+    accumulates the 25088->512 projection in f32 with dtype=None — a
+    bf16-stored kernel would silently truncate it). float32 compute
+    keeps f32 storage; non-float leaves pass through.
     """
     import jax
 
     compute_dtype = jnp.dtype(compute_dtype)
     if compute_dtype == jnp.float32:
         return params
+    keep = set(keep_f32)
 
-    def cast(x):
+    def cast(path, x):
+        if any(getattr(p, "key", None) in keep for p in path):
+            return x
         if getattr(x, "dtype", None) == jnp.float32:
             return jnp.asarray(x).astype(compute_dtype)
         return x
 
-    return jax.tree_util.tree_map(cast, params)
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+# Module names that must keep f32 storage per model family (see
+# cast_params_for_compute): ArcFace's final Dense is f32-accumulated.
+PARAMS_KEEP_F32 = {"arcface": ("embed",), "retinaface": (), "openpose": ()}
 
 
 # ---------------------------------------------------------------------------

@@ -3,6 +3,7 @@
 import time
 
 import jax.numpy as jnp
+import numpy as np
 
 from terran_tpu.runtime import (
     Policy, bucket_shape, default_device, default_policy, round_up,
@@ -56,3 +57,47 @@ def test_logger_singleton_handlers():
     a = get_logger("terran_tpu.test")
     b = get_logger("terran_tpu.test")
     assert a is b and len(a.handlers) == 1
+
+
+def test_cast_params_for_compute_keeps_exceptions_f32():
+    import jax.numpy as jnp
+
+    from terran_tpu.runtime import PARAMS_KEEP_F32, cast_params_for_compute
+
+    params = {
+        "stage0_unit0": {"conv": {"kernel": np.ones((3, 3, 4, 4), np.float32)}},
+        "embed": {"kernel": np.ones((16, 8), np.float32),
+                  "bias": np.zeros((8,), np.float32)},
+    }
+    out = cast_params_for_compute(
+        params, jnp.bfloat16, keep_f32=PARAMS_KEEP_F32["arcface"]
+    )
+    assert out["stage0_unit0"]["conv"]["kernel"].dtype == jnp.bfloat16
+    # The f32-accumulated final Dense must stay f32.
+    assert out["embed"]["kernel"].dtype == jnp.float32
+    assert out["embed"]["bias"].dtype == jnp.float32
+    # float32 compute: storage untouched.
+    same = cast_params_for_compute(params, jnp.float32)
+    assert same["stage0_unit0"]["conv"]["kernel"].dtype == jnp.float32
+
+
+def test_cast_params_bit_identical_under_bf16_compute():
+    """Pre-cast bf16 weights produce bitwise the same model output as
+    f32-stored weights under bf16 compute (the layers' per-execution
+    cast becomes a no-op — runtime.cast_params_for_compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    from terran_tpu.models.arcface import FaceResNet100
+    from terran_tpu.runtime import PARAMS_KEEP_F32, cast_params_for_compute
+
+    model = FaceResNet100(compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 112, 112, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    cast = cast_params_for_compute(
+        params, jnp.bfloat16, keep_f32=PARAMS_KEEP_F32["arcface"]
+    )
+    a = model.apply({"params": params}, x)
+    b = model.apply({"params": cast}, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -190,16 +190,16 @@ def measure_device_only(pipeline, frames, iters):
                     window=ws,
                 ))
                 # Measure the program the dispatcher would pick for these
-                # matrices: grouped slabs when all faces pass the span
-                # bound (the synthetic faces do — small-ish and mostly
-                # upright, like typical content).
-                from terran_tpu.ops.warp import grouped_warp_eligible
+                # matrices: the largest eligible slab group (the
+                # synthetic faces are small-ish and mostly upright, like
+                # typical content).
+                from terran_tpu.ops.warp import best_warp_group
 
                 mats = np.asarray(packed[..., :6]).reshape(-1, 2, 3)
-                grouped = bool(grouped_warp_eligible(mats).all())
+                group = best_warp_group(mats)
                 we = pipeline._warp_embed_window_fn(
                     pipeline.max_faces, ws, frames_dev.shape,
-                    grouped=grouped,
+                    group=group,
                 )
             else:
                 packed = jnp.asarray(synthetic_embed_packed(
@@ -217,7 +217,7 @@ def measure_device_only(pipeline, frames, iters):
             packed_t = packed[:, :k_typ]
             if ws is not None:
                 we_t = pipeline._warp_embed_window_fn(
-                    k_typ, ws, frames_dev.shape, grouped=grouped
+                    k_typ, ws, frames_dev.shape, group=group
                 )
             else:
                 we_t = pipeline._warp_embed_fn(k_typ, frames_dev.shape)

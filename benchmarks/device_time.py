@@ -207,7 +207,7 @@ def main():
         # gather geometry.
         import jax.numpy as jnp
 
-        from terran_tpu.ops.warp import SLAB_W, grouped_warp_eligible
+        from terran_tpu.ops.warp import best_warp_group
 
         ws = next((w for w in pipeline.embed_windows
                    if w <= min(height, width)), None)
@@ -216,15 +216,14 @@ def main():
                 batch, pipeline.max_faces, height, width, window=ws
             ))
             # Mirror the pipeline's dispatch (pipeline.py
-            # _dispatch_adaptive_embed): grouped-slab program when every
-            # face passes the span bound and the window has the slab
-            # margin — which is what production would run on this plan.
+            # _dispatch_adaptive_embed): the largest eligible slab group
+            # — which is what production would run on this plan.
             mats = np.asarray(packed[..., :6]).reshape(-1, 2, 3)
-            grouped = bool(grouped_warp_eligible(mats).all())
+            group = best_warp_group(mats)
             we = pipeline._warp_embed_window_fn(
-                pipeline.max_faces, ws, fd.shape, grouped=grouped
+                pipeline.max_faces, ws, fd.shape, group=group
             )
-            print(f"# embed program: window={ws} grouped={grouped}",
+            print(f"# embed program: window={ws} group={group}",
                   file=_sys.stderr, flush=True)
         else:
             packed = jnp.asarray(synthetic_embed_packed(

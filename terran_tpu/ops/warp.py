@@ -305,41 +305,75 @@ def warp_affine_windowed(window, matrix, origin, frame_h, frame_w,
 GROUP = 4
 SLAB_H = 3
 SLAB_W = 6
+# Candidate group sizes, largest first, with each group's slab geometry.
+# Every group must divide out_w (112). A larger group needs a wider slab
+# (or a smaller source scale) to fit the group's source x-span: with its
+# (3, 7) slab, G=8 admits |m00| <= 5/7 (faces up to ~80 px source) and
+# |m10| <= 1/7 (~±14 degrees at 64 px); G=4 keeps the narrower (3, 6)
+# slab and admits |m00| <= 4/3 (~149 px), |m10| <= 1/3. Crowds skew
+# small, so most batches take G=8 at HALF the descriptors of G=4.
+GROUP_SLABS = {8: (3, 7), 4: (3, 6)}
+WARP_GROUPS = tuple(sorted(GROUP_SLABS, reverse=True))
+# Window margin that guarantees the slab fit-clip is a no-op for inside
+# pixels, whichever group the dispatcher picks (see
+# pipeline._dispatch_adaptive_embed).
+SLAB_MARGIN = max(w for _, w in GROUP_SLABS.values()) - 2
 
 
-def grouped_warp_eligible(matrices, group=GROUP, slab_h=SLAB_H,
-                          slab_w=SLAB_W):
+def grouped_warp_eligible(matrices, group=GROUP, slab_h=None, slab_w=None):
     """Per-matrix eligibility for the grouped-slab warp: (M, 2, 3) ->
-    (M,) bool. Strictly conservative (ceil-span bound)."""
+    (M,) bool. Strictly conservative (ceil-span bound). The slab defaults
+    to the group's :data:`GROUP_SLABS` entry."""
+    if slab_h is None or slab_w is None:
+        slab_h, slab_w = GROUP_SLABS[group]
     m = np.asarray(matrices)
     span_x = np.abs(m[:, 0, 0]) * (group - 1)
     span_y = np.abs(m[:, 1, 0]) * (group - 1)
     return (span_x <= slab_w - 2 - 1e-3) & (span_y <= slab_h - 2 - 1e-3)
 
 
+def best_warp_group(matrices):
+    """Largest group size in :data:`WARP_GROUPS` for which EVERY matrix
+    passes :func:`grouped_warp_eligible`, or None (per-pixel fallback).
+    The dispatcher compiles one program per (bucket, window, group), so
+    the choice is all-or-nothing per batch, like the window bucket."""
+    for g in WARP_GROUPS:
+        if bool(grouped_warp_eligible(matrices, group=g).all()):
+            return g
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w",
-                                             "frame_h", "frame_w"))
+                                             "frame_h", "frame_w",
+                                             "group", "slab"))
 def warp_affine_windowed_grouped(window, matrix, origin, frame_h, frame_w,
-                                 out_h=112, out_w=112):
+                                 out_h=112, out_w=112, group=GROUP,
+                                 slab=None):
     """:func:`warp_affine_windowed` with GROUPED gather descriptors.
 
-    One (SLAB_H, SLAB_W, C) slab is fetched per GROUP consecutive output
-    pixels of a row instead of one (2, 2, C) patch per pixel — 4x fewer
-    descriptors, and the per-pixel 2x2 taps are recovered from the slab
-    by where-chains over the (tiny, static) slab axes on the VPU.
-    Bit-identical to the per-pixel path for matrices passing
-    :func:`grouped_warp_eligible` when the window carries SLAB_W - 2
-    extra margin (the dispatcher sizes windows accordingly).
+    One (slab_h, slab_w, C) slab is fetched per ``group`` consecutive
+    output pixels of a row instead of one (2, 2, C) patch per pixel —
+    ``group``x fewer descriptors, and the per-pixel 2x2 taps are
+    recovered from the slab by where-chains over the (tiny, static) slab
+    axes on the VPU. The slab defaults to the group's
+    :data:`GROUP_SLABS` entry. Bit-identical to the per-pixel path for
+    matrices passing :func:`grouped_warp_eligible` at this ``group`` when
+    the window carries :data:`SLAB_MARGIN` extra margin (the dispatcher
+    sizes windows accordingly).
 
     Why: gathers are per-descriptor-bound (~25-33 ns each on v5e
     regardless of operand size — see docs/architecture.md); measured raw
     gather cost for the 64-crop full-occupancy batch drops 20.1 -> 11.0
-    ms with (3, 6, 3) slabs at a quarter the descriptors.
+    ms with (3, 6, 3) slabs at a quarter the descriptors (group=4), and
+    small-face batches qualify for group=8 with a (3, 7) slab at an
+    eighth (full embed program 22.4 -> 19.5 ms; a (4, 7) slab for wider
+    rotation tolerance measured 21.7 — the extra row is not worth it).
     """
+    slab_h, slab_w = GROUP_SLABS[group] if slab is None else slab
     h, w = frame_h, frame_w
     C = window.shape[2]
-    ng = out_w // GROUP
-    assert out_w % GROUP == 0
+    ng = out_w // group
+    assert out_w % group == 0
 
     ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5
     xs = jnp.arange(out_w, dtype=jnp.float32) + 0.5
@@ -360,17 +394,17 @@ def warp_affine_windowed_grouped(window, matrix, origin, frame_h, frame_w,
 
     # Clamped per-pixel patch origins in full-source space (identical tap
     # choice to the per-pixel path), grouped along x.
-    oy_pix = jnp.clip(y0i, 0, h - 2).reshape(out_h, ng, GROUP)
-    ox_pix = jnp.clip(x0i, 0, w - 2).reshape(out_h, ng, GROUP)
+    oy_pix = jnp.clip(y0i, 0, h - 2).reshape(out_h, ng, group)
+    ox_pix = jnp.clip(x0i, 0, w - 2).reshape(out_h, ng, group)
     # Slab origin: the group minimum, shifted into window space. The
     # dispatcher's extra margin makes the fit clip a no-op for inside
     # pixels; outside pixels take arbitrary taps and are filled anyway.
     soy = jnp.clip(oy_pix.min(axis=2) - origin[0],
-                   0, window.shape[0] - SLAB_H)
+                   0, window.shape[0] - slab_h)
     sox = jnp.clip(ox_pix.min(axis=2) - origin[1],
-                   0, window.shape[1] - SLAB_W)
-    dy = jnp.clip(oy_pix - origin[0] - soy[..., None], 0, SLAB_H - 2)
-    dx = jnp.clip(ox_pix - origin[1] - sox[..., None], 0, SLAB_W - 2)
+                   0, window.shape[1] - slab_w)
+    dy = jnp.clip(oy_pix - origin[0] - soy[..., None], 0, slab_h - 2)
+    dx = jnp.clip(ox_pix - origin[1] - sox[..., None], 0, slab_w - 2)
 
     starts = jnp.stack([soy.reshape(-1), sox.reshape(-1)], axis=-1)
     dn = jax.lax.GatherDimensionNumbers(
@@ -378,9 +412,9 @@ def warp_affine_windowed_grouped(window, matrix, origin, frame_h, frame_w,
         start_index_map=(0, 1),
     )
     slabs = jax.lax.gather(
-        window, starts, dn, slice_sizes=(SLAB_H, SLAB_W, C),
+        window, starts, dn, slice_sizes=(slab_h, slab_w, C),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    ).astype(jnp.float32).reshape(out_h, ng, SLAB_H, SLAB_W, C)
+    ).astype(jnp.float32).reshape(out_h, ng, slab_h, slab_w, C)
 
     # Tap extraction: where-chains over the static slab axes. Column pick
     # per slab row (cidx = dx + b), then row pick (ridx = dy + a).
@@ -388,19 +422,19 @@ def warp_affine_windowed_grouped(window, matrix, origin, frame_h, frame_w,
         acc = jnp.broadcast_to(
             row_vals[:, :, None, 0, :], cidx.shape + (C,)
         )
-        for c in range(1, SLAB_W):
+        for c in range(1, slab_w):
             acc = jnp.where((cidx == c)[..., None],
                             row_vals[:, :, None, c, :], acc)
         return acc
 
     picked = [
         [col_pick(slabs[:, :, r], dx + b) for b in (0, 1)]
-        for r in range(SLAB_H)
+        for r in range(slab_h)
     ]
 
     def row_pick(a, b):
         acc = picked[a][b]
-        for d in range(1, SLAB_H - 1):
+        for d in range(1, slab_h - 1):
             acc = jnp.where((dy == d)[..., None], picked[d + a][b], acc)
         return acc.reshape(out_h, out_w, C)
 

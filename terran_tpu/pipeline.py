@@ -32,6 +32,8 @@ With a mesh (``terran_tpu.parallel.mesh``), both programs shard the frame
 axis across chips; parameters are replicated.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -49,8 +51,8 @@ from terran_tpu.ops.pose_decode import (
 )
 from terran_tpu.ops.upsample import upsample_bicubic
 from terran_tpu.ops.warp import (
-    SLAB_W, alignment_matrices, alignment_matrices_jax,
-    grouped_warp_eligible, warp_affine_batch, warp_affine_windowed,
+    SLAB_MARGIN, WARP_GROUPS, alignment_matrices, alignment_matrices_jax,
+    best_warp_group, warp_affine_batch, warp_affine_windowed,
     warp_affine_windowed_grouped,
 )
 from terran_tpu.parallel.mesh import (
@@ -389,25 +391,34 @@ class PerceptionPipeline:
         return fn
 
     def _warp_embed_window_fn(self, k_slots, ws, frames_shape,
-                              grouped=False):
+                              group=None, slab=None):
         """Windowed variant of :meth:`_warp_embed_fn`: each face's crop is
         gathered from a ``(ws, ws)`` window dynamic-sliced around its
         source quad instead of the full frame (the patch gather pays an
         operand-proportional cost — see ops/warp.py). The plan is one
         (B, k, 9) upload: 6 matrix entries + validity + window (y, x).
 
-        With ``grouped``, the warp fetches one (3, 6, C) slab per 4
-        output pixels instead of one (2, 2, C) patch per pixel — 4x fewer
-        gather descriptors, bit-identical for matrices passing
-        ``ops.warp.grouped_warp_eligible`` (the dispatcher checks).
+        With ``group`` (8/4), the warp fetches one slab (the group's
+        ``ops.warp.GROUP_SLABS`` geometry; ``slab`` overrides it for
+        profiling) per ``group`` output pixels instead of one (2, 2, C)
+        patch per pixel — ``group``x fewer gather descriptors,
+        bit-identical for matrices passing
+        ``ops.warp.grouped_warp_eligible`` at that group (the dispatcher
+        picks the largest eligible size via ``ops.warp.best_warp_group``).
         """
-        key = (k_slots, ws, grouped) + tuple(frames_shape)
+        # Production keys stay (k, ws, group, b, h, w, c); a profiling
+        # slab override gets its own, longer key.
+        key = ((k_slots, ws, group) + (() if slab is None else (slab,))
+               + tuple(frames_shape))
         if key in self._warp_embed_fns:
             return self._warp_embed_fns[key]
 
-        warp_fn = (
-            warp_affine_windowed_grouped if grouped else warp_affine_windowed
-        )
+        if group is None:
+            warp_fn = warp_affine_windowed
+        else:
+            warp_fn = functools.partial(
+                warp_affine_windowed_grouped, group=group, slab=slab
+            )
 
         def warp_embed(rec_params, frames, packed):
             b = frames.shape[0]
@@ -650,10 +661,13 @@ class PerceptionPipeline:
                 if k > self.max_faces:
                     continue
                 for ws in ws_list:
-                    for grouped in (True, False):
+                    # Warm the per-pixel fallback plus every dispatchable
+                    # group size (8 for faces <= ~80 px, 4 up to ~1.33x
+                    # source scale).
+                    for group in WARP_GROUPS + (None,):
                         run(
                             self._warp_embed_window_fn(
-                                k, ws, frames_shape, grouped=grouped
+                                k, ws, frames_shape, group=group
                             ),
                             self.rec_params, frames,
                             self._put_batch(
@@ -1032,15 +1046,16 @@ class PerceptionPipeline:
         max_extent = float(
             (src.max(axis=1) - src.min(axis=1)).max()
         ) + 6
-        # Grouped-slab warp (4x fewer gather descriptors) when every face
-        # in the batch passes the span bound AND a window with the slab's
-        # extra margin exists; bit-identical (ops/warp.py).
-        grouped = bool(grouped_warp_eligible(mats).all())
+        # Grouped-slab warp (group-x fewer gather descriptors; the
+        # largest group size whose slab admits every face's span bound)
+        # when a window with the slab's extra margin exists;
+        # bit-identical (ops/warp.py).
+        group = best_warp_group(mats)
         ws_grouped = next(
             (w for w in self.embed_windows
-             if w >= max_extent + (SLAB_W - 2) and w <= min(fh, fw)),
+             if w >= max_extent + SLAB_MARGIN and w <= min(fh, fw)),
             None,
-        ) if grouped else None
+        ) if group is not None else None
         ws = ws_grouped if ws_grouped is not None else next(
             (w for w in self.embed_windows
              if w >= max_extent and w <= min(fh, fw)),
@@ -1055,7 +1070,7 @@ class PerceptionPipeline:
             packed[..., 8] = np.clip(packed[..., 8], 0, fw - ws)
             fn = self._warp_embed_window_fn(
                 k, ws, frames_dev.shape,
-                grouped=ws_grouped is not None,
+                group=group if ws_grouped is not None else None,
             )
             emb = fn(self.rec_params, frames_dev, self._put_batch(packed))
         if hasattr(emb, "copy_to_host_async"):

@@ -334,9 +334,10 @@ def test_windowed_embed_matches_full_frame(tiny_pipeline_params, rng):
     win_keys = set(pipe._warp_embed_fns) - full_keys
 
     assert all(len(k) == 5 for k in full_keys)       # (k, b, h, w, c)
-    # (k, ws, grouped, b, h, w, c); these small upright faces pass the
-    # grouped-slab eligibility, so the 4x-fewer-descriptor program runs.
-    assert any(len(k) == 7 and k[2] is True for k in win_keys)
+    # (k, ws, group, b, h, w, c); these small upright faces pass the
+    # grouped-slab eligibility at some group size (8/7/4 depending on
+    # scale), so a fewer-descriptor slab program runs.
+    assert any(len(k) == 7 and k[2] in (8, 7, 4) for k in win_keys)
     np.testing.assert_array_equal(
         np.asarray(plan_win), np.asarray(plan_full)
     )
@@ -363,7 +364,7 @@ def test_rotated_faces_fall_back_to_per_pixel_window(
     pipe.embed_windows = [256]
     pipe._dispatch_adaptive_embed(out, frames_dev, 1)
     win_keys = [k for k in pipe._warp_embed_fns if len(k) == 7]
-    assert win_keys and all(k[2] is False for k in win_keys)
+    assert win_keys and all(k[2] is None for k in win_keys)
 
 
 def test_windowed_embed_falls_back_for_oversized_faces(
@@ -389,10 +390,10 @@ def test_warmup_compiles_program_family(tiny_pipeline_params):
     pipe.peak_buckets = [4]
     pipe.embed_windows = [64]
     n = pipe.warmup(batch=2, height=96, width=128)
-    # detection + embed (k=2, k=4=max_faces) x (window 64 grouped +
-    # window 64 per-pixel + full-frame) + pose detect + limbs (kb=4,
+    # detection + embed (k=2, k=4=max_faces) x (window 64 group=8 +
+    # group=4 + per-pixel + full-frame) + pose detect + limbs (kb=4,
     # kb=8=max_peaks)
-    assert n == 1 + 2 * 3 + 1 + 2
+    assert n == 1 + 2 * 4 + 1 + 2
     # Subsequent batches find every program already cached.
     step_keys = set(pipe._step_fns)
     we_keys = set(pipe._warp_embed_fns)

@@ -156,13 +156,15 @@ def test_alignment_matrices_batched_matches_scalar(rng):
 
 
 def test_grouped_warp_bit_identical(rng):
-    """The grouped-slab warp (one (3, 6, C) gather per 4 output pixels —
-    4x fewer descriptors on TPU) must be BIT-identical to the per-pixel
-    path for every matrix passing grouped_warp_eligible, including faces
-    overlapping the frame border (edge replication + fill)."""
+    """The grouped-slab warp (one (3, 6, C) gather per ``group`` output
+    pixels — group-x fewer descriptors on TPU) must be BIT-identical to
+    the per-pixel path for every matrix passing grouped_warp_eligible at
+    that group, including faces overlapping the frame border (edge
+    replication + fill). Covers every group size the dispatcher picks."""
     import jax.numpy as jnp
 
     from terran_tpu.ops.warp import (
+        WARP_GROUPS,
         grouped_warp_eligible,
         warp_affine,
         warp_affine_windowed_grouped,
@@ -173,9 +175,9 @@ def test_grouped_warp_bit_identical(rng):
     corners = np.array([[0.5, 0.5], [111.5, 0.5],
                         [0.5, 111.5], [111.5, 111.5]])
 
-    checked = 0
-    for trial in range(60):
-        s = rng.uniform(0.3, 1.3)
+    checked = {g: 0 for g in WARP_GROUPS}
+    for trial in range(90):
+        s = rng.uniform(0.25, 1.3)
         th = rng.uniform(-0.25, 0.25)
         # Mix interior faces with corner-overlapping ones.
         if trial % 3 == 0:
@@ -186,22 +188,46 @@ def test_grouped_warp_bit_identical(rng):
             [[s * np.cos(th), -s * np.sin(th), cx],
              [s * np.sin(th), s * np.cos(th), cy]], np.float32
         )
-        if not grouped_warp_eligible(m[None])[0]:
-            continue
         src = corners @ m[:, :2].T + m[:, 2]
         if (src.max(axis=0) - src.min(axis=0)).max() + 10 > WS:
             continue
         lo = np.floor(src.min(axis=0)) - 3
         oy = int(np.clip(lo[1], 0, H - WS))
         ox = int(np.clip(lo[0], 0, W - WS))
-        ref = np.asarray(warp_affine(jnp.asarray(frame), jnp.asarray(m)))
-        got = np.asarray(warp_affine_windowed_grouped(
-            jnp.asarray(frame[oy:oy + WS, ox:ox + WS]), jnp.asarray(m),
-            jnp.asarray([oy, ox]), H, W,
-        ))
-        np.testing.assert_array_equal(got, ref)
-        checked += 1
-    assert checked >= 30
+        ref = None
+        for group in WARP_GROUPS:
+            if not grouped_warp_eligible(m[None], group=group)[0]:
+                continue
+            if ref is None:
+                ref = np.asarray(
+                    warp_affine(jnp.asarray(frame), jnp.asarray(m))
+                )
+            got = np.asarray(warp_affine_windowed_grouped(
+                jnp.asarray(frame[oy:oy + WS, ox:ox + WS]),
+                jnp.asarray(m), jnp.asarray([oy, ox]), H, W, group=group,
+            ))
+            np.testing.assert_array_equal(got, ref)
+            checked[group] += 1
+    assert all(c >= 10 for c in checked.values()), checked
+
+
+def test_best_warp_group_picks_largest_eligible():
+    from terran_tpu.ops.warp import best_warp_group
+
+    # G=8 with its (3, 7) slab admits |m00| <= 5/7; G=4 with (3, 6)
+    # admits |m00| <= 4/3 (see GROUP_SLABS).
+    small = np.array([[[0.571, 0, 0], [0, 0.571, 0]]])  # 64 px face
+    medium = np.array([[[0.7, 0, 0], [0, 0.7, 0]]])     # <= 5/7
+    large = np.array([[[1.2, 0, 0], [0, 1.2, 0]]])      # <= 4/3, > 5/7
+    huge = np.array([[[1.4, 0, 0], [0, 1.4, 0]]])       # ineligible
+    tilted = np.array([[[0.55, 0, 0], [0.16, 0.55, 0]]])  # y-drift > 1/7
+    assert best_warp_group(small) == 8
+    assert best_warp_group(medium) == 8
+    assert best_warp_group(large) == 4
+    assert best_warp_group(huge) is None
+    assert best_warp_group(tilted) == 4
+    # All-or-nothing over the batch: one large face demotes the group.
+    assert best_warp_group(np.concatenate([small, large])) == 4
 
 
 def test_grouped_warp_eligibility_bounds():

@@ -285,3 +285,24 @@ def test_limb_scores_wide_index_branch_matches(monkeypatch, rng):
     reg_b, acc_b = pd.limb_scores(pafs, coords, valid, 0.05)
     np.testing.assert_array_equal(np.asarray(reg_a), np.asarray(reg_b))
     np.testing.assert_array_equal(np.asarray(acc_a), np.asarray(acc_b))
+
+
+def test_segment_endpoint_truncation_invariant():
+    """limb_scores gathers segment samples 0 and M-1 once per (limb,
+    peak) — valid only because the f32 linspace arithmetic truncates
+    EXACTLY onto the src/dst pixels for every integer coordinate pair
+    the field can produce. Guard that invariant exhaustively up to the
+    largest upsampled extent the defaults reach (short side 184 -> x8
+    field 1472 rows), so a NUM_MIDPOINTS or arithmetic change that
+    breaks the dedup fails loudly here."""
+    from terran_tpu.ops.pose_decode import NUM_MIDPOINTS
+
+    n = 1536
+    a = np.arange(n, dtype=np.float32)[:, None]
+    b = np.arange(n, dtype=np.float32)[None, :]
+    m1 = np.float32(NUM_MIDPOINTS - 1)
+    step = ((b - a) / m1).astype(np.float32)
+    end = (a + step * m1).astype(np.float32)
+    assert (end.astype(np.int64) == b.astype(np.int64)).all()
+    start = (a + step * np.float32(0)).astype(np.float32)
+    assert (start.astype(np.int64) == a.astype(np.int64)).all()

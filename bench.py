@@ -5,8 +5,12 @@ ArcFace embed + OpenPose decode, BASELINE config 5) over synthetic 1080p
 batches with a depth-2 software pipeline (threaded host->HBM uploads
 overlapping compute and result downloads), and prints ONE JSON line with:
 
-- ``value``/``vs_baseline``: median end-to-end frames/sec over 3 sweeps
-  (every sweep is also reported under ``sweeps``).
+- ``value``/``vs_baseline``: median end-to-end frames/sec over 5 sweeps,
+  for the better of the two transfer plans ('device': raw frames upload
+  once; 'host': only the detect/pose resizes and per-face embed windows
+  cross the link — the winner on link-bound hosts like this relay). Every
+  sweep of both plans is reported (``sweeps``, ``host_plan_sweeps``) and
+  the winner is named (``transfer_plan_used``).
 - ``device_only_fps`` / ``achieved_tflops`` / ``mfu``: steady-state
   throughput of the three jitted programs with frames already resident in
   HBM — the transfer-independent number. ``mfu`` is achieved FLOP/s over
@@ -448,6 +452,42 @@ def main():
         )
     fps = statistics.median(sweeps)
 
+    # The 'host' transfer plan uploads the detect/pose resizes and the
+    # per-face embed windows instead of the raw frames (~2.5x fewer
+    # bytes at full slot occupancy, more at typical occupancy) — the
+    # winning configuration when the link, not the device, bounds
+    # end-to-end throughput (this relay; PCIe-starved or
+    # network-attached hosts). Measured as its own sweep set; the
+    # headline is the better plan, named in the JSON.
+    host_sweeps = []
+    if os.environ.get("BENCH_HOST_PLAN", "1") != "0":
+        pipeline_host = PerceptionPipeline(
+            det_params=params["retinaface"],
+            rec_params=params["arcface"],
+            pose_params=params["openpose"],
+            max_faces=max_faces,
+            top_k=64,
+            max_peaks=16,
+            with_pose=with_pose,
+            max_escalations=max_escalations,
+            transfer_plan="host",
+        )
+        pipeline_host.process_batch(batches[0])
+        for _ in pipeline_host.process_stream(batches[:2], depth=depth):
+            pass
+        for _ in range(5):
+            t0 = time.time()
+            for _out in pipeline_host.process_stream(batches, depth=depth):
+                pass
+            host_sweeps.append(
+                round(batch_size * num_batches / (time.time() - t0), 2)
+            )
+    host_fps = statistics.median(host_sweeps) if host_sweeps else None
+    plan_used = "device"
+    if host_fps is not None and host_fps > fps:
+        fps = host_fps
+        plan_used = "host"
+
     (device_only_fps, achieved_tflops, device_stage_ms,
      device_typical_fps) = measure_device_only(
         pipeline, batches[0], device_iters
@@ -470,6 +510,8 @@ def main():
             round(fps / baseline, 2) if baseline else None
         ),
         "sweeps": sweeps,
+        "host_plan_sweeps": host_sweeps or None,
+        "transfer_plan_used": plan_used,
         "device_only_fps": round(device_only_fps, 2),
         "device_only_fps_typical": (
             round(device_typical_fps, 2) if device_typical_fps else None

@@ -67,6 +67,13 @@ class Config:
     # largest face picks the bucket; faces exceeding the largest window
     # (or frames smaller than the smallest) fall back to full-frame warps.
     pipeline_embed_windows: str = "256,512"
+    # Pipeline transfer plan: 'device' uploads the raw frames once and
+    # resizes/crops on device (best on healthy host->device links);
+    # 'host' uploads only the derived inputs — detection-bucket resize,
+    # pose resize, per-face embed windows — cutting upload bytes ~4-5x
+    # per 1080p frame for link-bound hosts (PCIe-starved or
+    # network-attached accelerators). Requires adaptive dispatches.
+    transfer_plan: str = "device"
 
     # Overflow escalation: when a fixed capacity saturates (detection
     # top_k, pose max_peaks, embed face slots), re-dispatch that batch at

@@ -90,7 +90,7 @@ class PerceptionPipeline:
                  max_peaks=None, compute_dtype=None, mesh=None,
                  with_pose=True, with_embeddings=True, timer=None,
                  embed_dispatch=None, limb_dispatch=None,
-                 max_escalations=None):
+                 max_escalations=None, transfer_plan=None):
         from terran_tpu.checkpoint import load_checkpoint_params
         from terran_tpu.config import get_config
 
@@ -203,11 +203,47 @@ class PerceptionPipeline:
             if str(x).strip()
         )
 
+        # Transfer plan: what crosses the host->device link per batch.
+        # 'device' (default): the raw uint8 frames, once; every resize
+        # and crop happens on device. 'host': only the DERIVED inputs —
+        # the detection-bucket resize, the pose resize, and (after the
+        # detection results return) the per-face embed windows sliced
+        # from the host-resident originals — cutting per-frame upload
+        # bytes ~4-5x at typical occupancy (6.2 MB -> ~1.3 MB at 1080p).
+        # For hosts whose link is the bottleneck (PCIe-starved or
+        # network-attached accelerators; this sandbox's relay); the
+        # device plan remains better on healthy links (one transfer, no
+        # host resize work). Host resizes run this repo's own bilinear
+        # on the CPU backend, so the task contract is unchanged (the
+        # reference itself resizes with cv2 on host, which the device
+        # resize matches to +-1 count).
+        self.transfer_plan = (
+            cfg.transfer_plan if transfer_plan is None else transfer_plan
+        )
+        if self.transfer_plan not in ("device", "host"):
+            raise ValueError(
+                f"transfer_plan must be 'device' or 'host', got "
+                f"{self.transfer_plan!r}"
+            )
+        if self.transfer_plan == "host":
+            if self.with_embeddings and self.embed_dispatch != "adaptive":
+                raise ValueError(
+                    "transfer_plan='host' requires embed_dispatch="
+                    "'adaptive' (the fused program warps crops from the "
+                    "full frames, which never reach the device)"
+                )
+            if self.with_pose and self.limb_dispatch != "adaptive":
+                raise ValueError(
+                    "transfer_plan='host' requires limb_dispatch="
+                    "'adaptive'"
+                )
+
         self._step_fns = {}
         self._pose_fns = {}
         self._warp_embed_fns = {}
         self._pose_detect_fns = {}
         self._limb_fns = {}
+        self._host_resize_fns = {}
 
         # Optional observability hook (terran_tpu.utils.profiling.StageTimer).
         self.timer = timer
@@ -232,13 +268,17 @@ class PerceptionPipeline:
             "out_shardings": data,
         }
 
-    def _perception_fn(self, full_h, full_w, top_k=None):
+    def _perception_fn(self, full_h, full_w, top_k=None,
+                       pre_resized=False):
         # The traced program depends on the embed mode (the fused path
         # warps crops inside it) and the NMS capacity (overflow
         # escalation re-dispatches at doubled top_k), so neither may
-        # reuse the cache across values.
+        # reuse the cache across values. With ``pre_resized`` (the
+        # 'host' transfer plan) the input is the already det-bucket-
+        # resized uint8 batch; (full_h, full_w) still fix the
+        # coordinate scale-back.
         top_k = self.top_k if top_k is None else top_k
-        key = (full_h, full_w, self.embed_dispatch, top_k)
+        key = (full_h, full_w, self.embed_dispatch, top_k, pre_resized)
         if key in self._step_fns:
             return self._step_fns[key]
 
@@ -250,13 +290,18 @@ class PerceptionPipeline:
         inv_scale = 1.0 / det_scale
         with_embeddings = (
             self.with_embeddings and self.rec_params is not None
-            and self.embed_dispatch == "fused"
+            and self.embed_dispatch == "fused" and not pre_resized
         )
 
         def step(det_params, rec_params, frames_full):
             # Resize on device; only the raw uint8 frames crossed the link.
             # Round to match the reference's uint8 cv2 resize output.
-            frames_det = jnp.round(resize_bilinear(frames_full, det_h, det_w))
+            if pre_resized:
+                frames_det = frames_full.astype(jnp.float32)
+            else:
+                frames_det = jnp.round(
+                    resize_bilinear(frames_full, det_h, det_w)
+                )
             outputs = self.det_model.apply(
                 {"params": det_params},
                 frames_det.astype(self.det_model.compute_dtype),
@@ -391,7 +436,7 @@ class PerceptionPipeline:
         return fn
 
     def _warp_embed_window_fn(self, k_slots, ws, frames_shape,
-                              group=None, slab=None):
+                              group=None, slab=None, from_windows=False):
         """Windowed variant of :meth:`_warp_embed_fn`: each face's crop is
         gathered from a ``(ws, ws)`` window dynamic-sliced around its
         source quad instead of the full frame (the patch gather pays an
@@ -405,10 +450,19 @@ class PerceptionPipeline:
         bit-identical for matrices passing
         ``ops.warp.grouped_warp_eligible`` at that group (the dispatcher
         picks the largest eligible size via ``ops.warp.best_warp_group``).
+
+        With ``from_windows`` (the 'host' transfer plan) the program's
+        batch input is the already-sliced (B, k, ws, ws, C) uint8 window
+        stack instead of the full frames — the warp itself is identical
+        (coordinates stay in full-frame space; only the gather operand
+        changes), so the crops are bit-identical to the device-sliced
+        path. ``frames_shape`` still names the logical full-frame shape.
         """
         # Production keys stay (k, ws, group, b, h, w, c); a profiling
-        # slab override gets its own, longer key.
+        # slab override or the window-input variant get their own,
+        # longer keys.
         key = ((k_slots, ws, group) + (() if slab is None else (slab,))
+               + (("wins",) if from_windows else ())
                + tuple(frames_shape))
         if key in self._warp_embed_fns:
             return self._warp_embed_fns[key]
@@ -420,21 +474,25 @@ class PerceptionPipeline:
                 warp_affine_windowed_grouped, group=group, slab=slab
             )
 
+        frame_h, frame_w = frames_shape[1], frames_shape[2]
+
         def warp_embed(rec_params, frames, packed):
-            b = frames.shape[0]
-            frame_h, frame_w = frames.shape[1:3]
+            b = packed.shape[0]
             mats = packed[..., :6].reshape(b * k_slots, 2, 3)
             valid = (packed[..., 6] > 0.5).reshape(-1)
             oyx = packed[..., 7:9].astype(jnp.int32)  # (B, k, 2)
 
-            def slice_one(img, o):
-                return jax.lax.dynamic_slice(
-                    img, (o[0], o[1], 0), (ws, ws, img.shape[2])
-                )
+            if from_windows:
+                wins = frames  # (B, k, ws, ws, C), sliced on host
+            else:
+                def slice_one(img, o):
+                    return jax.lax.dynamic_slice(
+                        img, (o[0], o[1], 0), (ws, ws, img.shape[2])
+                    )
 
-            wins = jax.vmap(
-                jax.vmap(slice_one, in_axes=(None, 0))
-            )(frames, oyx)  # (B, k, ws, ws, C)
+                wins = jax.vmap(
+                    jax.vmap(slice_one, in_axes=(None, 0))
+                )(frames, oyx)  # (B, k, ws, ws, C)
             wflat = wins.reshape((b * k_slots,) + wins.shape[2:])
             crops = jax.vmap(
                 lambda wdw, m, o: warp_fn(
@@ -511,17 +569,21 @@ class PerceptionPipeline:
         return decode
 
     def _pose_front(self, pose_params, frames_full, pose_h, pose_w,
-                    use_fused, max_peaks=None):
+                    use_fused, max_peaks=None, pre_resized=False):
         """Traced front half shared by the fused pose program and the
         adaptive split: on-device resize + CPM forward + fixed-K peak
         finding. Returns (paf x1 float32, peaks_packed, coords, valid);
         the peaks pack is (B, P, K, 5) = y, x, score, valid, part
         overflow (broadcast along K) — the layout
-        ``ops.pose_decode.unpack_pose_outputs`` consumes.
+        ``ops.pose_decode.unpack_pose_outputs`` consumes. With
+        ``pre_resized`` the input batch is already at (pose_h, pose_w).
         """
-        frames_pose = jnp.round(
-            resize_bilinear(frames_full, pose_h, pose_w)
-        )
+        if pre_resized:
+            frames_pose = frames_full.astype(jnp.float32)
+        else:
+            frames_pose = jnp.round(
+                resize_bilinear(frames_full, pose_h, pose_w)
+            )
         # Shared with the standalone decode (ops/pose_decode.py). With
         # ``use_fused`` the heatmaps never materialise at x8: the Pallas
         # kernel (ops/fused_peaks.py) scans the phase images in VMEM and
@@ -537,16 +599,19 @@ class PerceptionPipeline:
         return paf, pack_peaks(coords, scores, valid, overflow), coords, \
             valid
 
-    def _pose_detect_fn(self, full_h, full_w, max_peaks=None):
+    def _pose_detect_fn(self, full_h, full_w, max_peaks=None,
+                        pre_resized=False):
         """First half of the adaptive pose path: forward + peak finding.
 
         Returns (peaks_packed, paf) with the PAF left at x1 resolution ON
         DEVICE (a few MB) — the x8 upsample and the (K, K) limb-pair
         scoring move to the bucketed :meth:`_limb_fn` program, sized to
-        the peaks this batch actually produced.
+        the peaks this batch actually produced. With ``pre_resized``
+        (the 'host' transfer plan) the input is the already pose-resized
+        uint8 batch.
         """
         max_peaks = self.max_peaks if max_peaks is None else max_peaks
-        key = (full_h, full_w, max_peaks)
+        key = (full_h, full_w, max_peaks, pre_resized)
         if key in self._pose_detect_fns:
             return self._pose_detect_fns[key]
 
@@ -558,7 +623,7 @@ class PerceptionPipeline:
         def detect_pose(pose_params, frames_full):
             paf, peaks, _, _ = self._pose_front(
                 pose_params, frames_full, pose_h, pose_w, use_fused,
-                max_peaks,
+                max_peaks, pre_resized=pre_resized,
             )
             return peaks, paf
 
@@ -628,7 +693,7 @@ class PerceptionPipeline:
             # warm the shapes it actually runs.
             batch += self.mesh.size - batch % self.mesh.size
         frames_shape = (batch, height, width, 3)
-        frames = self.put_frames(np.zeros(frames_shape, np.uint8))
+        hostprep = self.transfer_plan == "host"
         count = 0
 
         def run(jitted, *args):
@@ -637,8 +702,19 @@ class PerceptionPipeline:
             count += 1
             return out
 
-        run(self._perception_fn(height, width),
-            self.det_params, self.rec_params, frames)
+        if hostprep:
+            det_h, det_w, _ = resized_shape(
+                height, width, self.det_short_side
+            )
+            frames = self.put_frames(
+                np.zeros((batch, det_h, det_w, 3), np.uint8)
+            )
+            run(self._perception_fn(height, width, pre_resized=True),
+                self.det_params, self.rec_params, frames)
+        else:
+            frames = self.put_frames(np.zeros(frames_shape, np.uint8))
+            run(self._perception_fn(height, width),
+                self.det_params, self.rec_params, frames)
 
         if (self.with_embeddings and self.rec_params is not None
                 and self.embed_dispatch == "fused"):
@@ -657,6 +733,11 @@ class PerceptionPipeline:
                 and self.embed_dispatch == "adaptive"):
             ws_list = [w for w in self.embed_windows
                        if w <= min(height, width)]
+            full_frames = (
+                self.put_frames(np.zeros(frames_shape, np.uint8))
+                if hostprep else frames
+            )  # the oversized-face fallback uploads full frames even
+            # under the 'host' plan
             for k in sorted(set(self.embed_buckets) | {self.max_faces}):
                 if k > self.max_faces:
                     continue
@@ -665,25 +746,51 @@ class PerceptionPipeline:
                     # group size (8 for faces <= ~80 px, 4 up to ~1.33x
                     # source scale).
                     for group in WARP_GROUPS + (None,):
-                        run(
-                            self._warp_embed_window_fn(
-                                k, ws, frames_shape, group=group
-                            ),
-                            self.rec_params, frames,
-                            self._put_batch(
-                                np.zeros((batch, k, 9), np.float32)
-                            ),
-                        )
+                        if hostprep:
+                            run(
+                                self._warp_embed_window_fn(
+                                    k, ws, frames_shape, group=group,
+                                    from_windows=True,
+                                ),
+                                self.rec_params,
+                                self._put_batch(np.zeros(
+                                    (batch, k, ws, ws, 3), np.uint8
+                                )),
+                                self._put_batch(
+                                    np.zeros((batch, k, 9), np.float32)
+                                ),
+                            )
+                        else:
+                            run(
+                                self._warp_embed_window_fn(
+                                    k, ws, frames_shape, group=group
+                                ),
+                                self.rec_params, frames,
+                                self._put_batch(
+                                    np.zeros((batch, k, 9), np.float32)
+                                ),
+                            )
                 run(
                     self._warp_embed_fn(k, frames_shape),
-                    self.rec_params, frames,
+                    self.rec_params, full_frames,
                     self._put_batch(np.zeros((batch, k, 7), np.float32)),
                 )
 
         if self.with_pose and self.pose_params is not None:
+            if hostprep:
+                pose_h, pose_w, _ = resized_shape(
+                    height, width, self.pose_short_side
+                )
+                pose_in = self.put_frames(
+                    np.zeros((batch, pose_h, pose_w, 3), np.uint8)
+                )
+            else:
+                pose_in = frames
             if self.limb_dispatch == "adaptive":
-                pd = self._pose_detect_fn(height, width)
-                _, paf = run(pd, self.pose_params, frames)
+                pd = self._pose_detect_fn(
+                    height, width, pre_resized=hostprep
+                )
+                _, paf = run(pd, self.pose_params, pose_in)
                 for kb in sorted(set(self.peak_buckets) | {self.max_peaks}):
                     if kb > self.max_peaks:
                         continue
@@ -715,6 +822,32 @@ class PerceptionPipeline:
                                   batch_sharding(self.mesh))
         return jnp.asarray(array)
 
+    def _host_resize(self, frames, out_h, out_w):
+        """Resize a uint8 batch on the host CPU backend with the SAME
+        bilinear + round the device programs use ('host' transfer plan).
+
+        Returns a uint8 numpy array (the resized values are exact
+        integers after the round, so uint8 upload halves the bytes).
+        The arithmetic is this repo's own ``resize_bilinear`` — closer
+        to the device path than cv2's 2^-11 fixed point (which the
+        reference uses host-side and the device resize matches to +-1
+        count); on CPU test backends the two plans are bit-identical.
+        """
+        key = (out_h, out_w)
+        fn = self._host_resize_fns.get(key)
+        if fn is None:
+            cpu = jax.local_devices(backend="cpu")[0]
+
+            def resize_cpu(x):
+                return jnp.round(
+                    resize_bilinear(x, out_h, out_w)
+                ).astype(jnp.uint8)
+
+            jitted = jax.jit(resize_cpu)
+            fn = lambda x: np.asarray(jitted(jax.device_put(x, cpu)))
+            self._host_resize_fns[key] = fn
+        return fn(np.asarray(frames))
+
     def _stage(self, name, items=0):
         """Timing context for one pipeline stage (no-op without a timer)."""
         import contextlib
@@ -723,12 +856,21 @@ class PerceptionPipeline:
             return contextlib.nullcontext()
         return self.timer.stage(name, items)
 
-    def _dispatch_perception(self, frames_dev, top_k=None):
+    def _dispatch_perception(self, frames_dev, top_k=None, pre_shape=None):
         """Enqueue the detection program (and, in fused embed mode, the
         embedding program) on resident frames and start the result
-        transfers. Returns the dict of in-flight device arrays."""
-        full_h, full_w = frames_dev.shape[1:3]
-        step = self._perception_fn(full_h, full_w, top_k)
+        transfers. Returns the dict of in-flight device arrays.
+
+        ``pre_shape`` = (full_h, full_w) marks ``frames_dev`` as the
+        already det-bucket-resized upload of the 'host' transfer plan.
+        """
+        if pre_shape is not None:
+            full_h, full_w = pre_shape
+        else:
+            full_h, full_w = frames_dev.shape[1:3]
+        step = self._perception_fn(
+            full_h, full_w, top_k, pre_resized=pre_shape is not None
+        )
         out = dict(step(self.det_params, self.rec_params, frames_dev))
         if "crops" in out:
             out["emb_packed"] = self._embed_fn()(
@@ -766,37 +908,79 @@ class PerceptionPipeline:
             frames, n = pad_batch_to_multiple(np.asarray(frames), self.mesh.size)
 
         full_h, full_w = frames.shape[1:3]
-        with stage("h2d", items=n):
-            frames_dev = self.put_frames(frames)
+        hostprep = self.transfer_plan == "host"
+        if hostprep:
+            # 'host' plan: upload the detection-bucket resize instead of
+            # the full frames; the originals stay host-resident for the
+            # per-face embed windows sliced in finalize_batch.
+            frames = np.asarray(frames)
+            det_h, det_w, _ = resized_shape(
+                full_h, full_w, self.det_short_side
+            )
+            with stage("host_resize", items=n):
+                det_np = self._host_resize(frames, det_h, det_w)
+            with stage("h2d", items=n):
+                frames_dev = self.put_frames(det_np)
+            with stage("perception_step", items=n):
+                out = self._dispatch_perception(
+                    frames_dev, pre_shape=(full_h, full_w)
+                )
+            out["_frames_host"] = frames
+            out["_full_shape"] = (full_h, full_w)
+            if self.max_escalations > 0:
+                out["_redetect"] = lambda tk: self._dispatch_perception(
+                    frames_dev, top_k=tk, pre_shape=(full_h, full_w)
+                )
+        else:
+            with stage("h2d", items=n):
+                frames_dev = self.put_frames(frames)
 
-        with stage("perception_step", items=n):
-            out = self._dispatch_perception(frames_dev)
-        if (self.max_escalations > 0
-                or (self.embed_dispatch == "adaptive" and self.with_embeddings
-                    and self.rec_params is not None)):
-            # The adaptive embed program is dispatched in finalize_batch,
-            # once the detection results (face count, landmarks) are on
-            # the host, and overflow escalation re-dispatches saturated
-            # batches; the frames must stay resident until then.
-            out["_frames_dev"] = frames_dev
+            with stage("perception_step", items=n):
+                out = self._dispatch_perception(frames_dev)
+            if (self.max_escalations > 0
+                    or (self.embed_dispatch == "adaptive"
+                        and self.with_embeddings
+                        and self.rec_params is not None)):
+                # The adaptive embed program is dispatched in
+                # finalize_batch, once the detection results (face
+                # count, landmarks) are on the host, and overflow
+                # escalation re-dispatches saturated batches; the frames
+                # must stay resident until then.
+                out["_frames_dev"] = frames_dev
+            if self.max_escalations > 0:
+                out["_redetect"] = lambda tk: self._dispatch_perception(
+                    frames_dev, top_k=tk
+                )
 
         pose_out = None
         pose_scale = None
         if self.with_pose and self.pose_params is not None:
-            _, _, pose_scale = resized_shape(
+            pose_h, pose_w, pose_scale = resized_shape(
                 full_h, full_w, self.pose_short_side
             )
+            if hostprep:
+                with stage("host_resize", items=n):
+                    pose_np = self._host_resize(frames, pose_h, pose_w)
+                with stage("h2d", items=n):
+                    pose_in = self.put_frames(pose_np)
+                pd_kwargs = {"pre_resized": True}
+            else:
+                pose_in = frames_dev
+                pd_kwargs = {}
             if self.limb_dispatch == "adaptive":
-                pd = self._pose_detect_fn(full_h, full_w)
+                pd = self._pose_detect_fn(full_h, full_w, **pd_kwargs)
                 with stage("pose_dispatch", items=n):
-                    peaks_dev, paf_dev = pd(self.pose_params, frames_dev)
+                    peaks_dev, paf_dev = pd(self.pose_params, pose_in)
                     if hasattr(peaks_dev, "copy_to_host_async"):
                         peaks_dev.copy_to_host_async()
-                pose_out = ("adaptive", peaks_dev, paf_dev)
+                repose = lambda mp: self._pose_detect_fn(
+                    full_h, full_w, mp, **pd_kwargs
+                )(self.pose_params, pose_in)
+                pose_out = ("adaptive", peaks_dev, paf_dev, repose)
             else:
                 decode = self._pose_fn(full_h, full_w)
                 with stage("pose_dispatch", items=n):
-                    pose_out = decode(self.pose_params, frames_dev)
+                    pose_out = decode(self.pose_params, pose_in)
                     for v in pose_out:
                         if hasattr(v, "copy_to_host_async"):
                             v.copy_to_host_async()
@@ -809,6 +993,9 @@ class PerceptionPipeline:
             stage = self._stage
 
         frames_dev = out.pop("_frames_dev", None)
+        frames_host = out.pop("_frames_host", None)
+        full_shape = out.pop("_full_shape", None)
+        redetect = out.pop("_redetect", None)
 
         # Detection results first: the adaptive embed dispatch below needs
         # the host-side face count and landmarks (their transfer was
@@ -823,15 +1010,13 @@ class PerceptionPipeline:
         # dynamic shapes cannot drop detections).
         top_k_used = self.top_k
         attempts = 0
-        while (bool(overflow.any()) and frames_dev is not None
+        while (bool(overflow.any()) and redetect is not None
                and attempts < self.max_escalations):
             attempts += 1
             top_k_used *= 2
             self.escalations["detect"] += 1
             with stage("detect_escalation", items=n):
-                out_esc = self._dispatch_perception(
-                    frames_dev, top_k=top_k_used
-                )
+                out_esc = redetect(top_k_used)
                 if "emb_packed" in out_esc:
                     out["emb_packed"] = out_esc["emb_packed"]
                 det = np.asarray(out_esc.pop("det_packed"))[:n]
@@ -849,7 +1034,14 @@ class PerceptionPipeline:
             and self.rec_params is not None
         )
         emb_plan = None
-        if adaptive_embed and frames_dev is not None:
+        if adaptive_embed and frames_host is not None:
+            # 'host' plan: slice the per-face windows from the
+            # host-resident originals and upload only those.
+            with stage("embed_dispatch", items=n):
+                emb_plan = self._dispatch_adaptive_embed_host(
+                    out, frames_host, full_shape, n
+                )
+        elif adaptive_embed and frames_dev is not None:
             # Dispatch the bucketed warp+embed now; it computes while the
             # pose fetch and host assembly below run.
             with stage("embed_dispatch", items=n):
@@ -863,22 +1055,18 @@ class PerceptionPipeline:
                     # shard, padding rows included.
                     peaks_np = np.asarray(pose_out[1])
                 paf_dev = pose_out[2]
+                repose = pose_out[3]
                 # Escalation: a saturated part heatmap dropped its weakest
                 # peaks; re-run forward+peaks at doubled max_peaks.
                 mp_used = self.max_peaks
                 attempts = 0
                 while ((peaks_np[:n, :, 0, 4] > 0.5).any()
-                       and frames_dev is not None
                        and attempts < self.max_escalations):
                     attempts += 1
                     mp_used *= 2
                     self.escalations["pose"] += 1
                     with stage("pose_escalation", items=n):
-                        pd = self._pose_detect_fn(
-                            frames_dev.shape[1], frames_dev.shape[2],
-                            mp_used,
-                        )
-                        peaks_dev, paf_dev = pd(self.pose_params, frames_dev)
+                        peaks_dev, paf_dev = repose(mp_used)
                         peaks_np = np.asarray(peaks_dev)
                 coords = peaks_np[..., :2].astype(np.int32)
                 scores = peaks_np[..., 2].astype(np.float32)
@@ -985,22 +1173,12 @@ class PerceptionPipeline:
             limbs.copy_to_host_async()
         return kb, limbs
 
-    def _dispatch_adaptive_embed(self, out, frames_dev, n):
-        """Plan and enqueue the bucketed warp+embed program.
-
-        The per-frame slot count ``k`` is the smallest bucket covering the
-        busiest frame of this batch (the NMS outputs are score-sorted, so
-        slots ``[:k]`` are exactly the faces the fused path would embed).
-        Host Umeyama (float64, like the standalone Recognition API) fills
-        one packed upload: 6 matrix entries + validity (+ window origin
-        when the windowed program runs). When every face's source quad
-        fits a configured window bucket, crops are gathered from per-face
-        ``(ws, ws)`` windows instead of the full frames (the patch gather
-        pays an operand-proportional cost — ops/warp.py); oversized faces
-        or tiny frames fall back to the full-frame program, exactly.
-        Returns the in-flight device result, or None when no faces were
-        found (no program runs at all — the reference's empty-input
-        (0, 512) case, arcface/wrapper.py:159-164).
+    def _plan_adaptive_embed(self, out, b, fh, fw):
+        """Shared planning for the bucketed warp+embed program: bucket
+        selection, host Umeyama, the packed (b, k, 9) plan, and the
+        window/group choice. Returns None when no faces were found, else
+        (packed, k, ws, group) where ws is None for the full-frame
+        fallback and group is None for the per-pixel windowed program.
         """
         # Slots are positional (NMS suppression leaves holes in the mask),
         # so the bucket must cover the highest OCCUPIED slot, not the count.
@@ -1023,7 +1201,6 @@ class PerceptionPipeline:
         mask = mask_full[:, :capacity]
         lmks = out["landmarks"][:, :capacity]
         k = self._select_embed_bucket(min(busiest, capacity), capacity)
-        b, fh, fw = frames_dev.shape[:3]
         packed = np.zeros((b, k, 9), np.float32)
         # Output corner pixel centres; their source images bound every
         # sample point (the map is affine), giving each face's window.
@@ -1061,18 +1238,81 @@ class PerceptionPipeline:
              if w >= max_extent and w <= min(fh, fw)),
             None,
         )
+        if ws is not None:
+            packed[..., 7] = np.clip(packed[..., 7], 0, fh - ws)
+            packed[..., 8] = np.clip(packed[..., 8], 0, fw - ws)
+        return packed, k, ws, (group if ws_grouped is not None else None)
+
+    def _dispatch_adaptive_embed(self, out, frames_dev, n):
+        """Plan and enqueue the bucketed warp+embed program.
+
+        The per-frame slot count ``k`` is the smallest bucket covering the
+        busiest frame of this batch (the NMS outputs are score-sorted, so
+        slots ``[:k]`` are exactly the faces the fused path would embed).
+        Host Umeyama (float64, like the standalone Recognition API) fills
+        one packed upload: 6 matrix entries + validity (+ window origin
+        when the windowed program runs). When every face's source quad
+        fits a configured window bucket, crops are gathered from per-face
+        ``(ws, ws)`` windows instead of the full frames (the patch gather
+        pays an operand-proportional cost — ops/warp.py); oversized faces
+        or tiny frames fall back to the full-frame program, exactly.
+        Returns the in-flight device result, or None when no faces were
+        found (no program runs at all — the reference's empty-input
+        (0, 512) case, arcface/wrapper.py:159-164).
+        """
+        b, fh, fw = frames_dev.shape[:3]
+        plan = self._plan_adaptive_embed(out, b, fh, fw)
+        if plan is None:
+            return None
+        packed, k, ws, group = plan
         if ws is None:
             fn = self._warp_embed_fn(k, frames_dev.shape)
             emb = fn(self.rec_params, frames_dev,
                      self._put_batch(packed[..., :7]))
         else:
-            packed[..., 7] = np.clip(packed[..., 7], 0, fh - ws)
-            packed[..., 8] = np.clip(packed[..., 8], 0, fw - ws)
             fn = self._warp_embed_window_fn(
-                k, ws, frames_dev.shape,
-                group=group if ws_grouped is not None else None,
+                k, ws, frames_dev.shape, group=group,
             )
             emb = fn(self.rec_params, frames_dev, self._put_batch(packed))
+        if hasattr(emb, "copy_to_host_async"):
+            emb.copy_to_host_async()
+        return emb
+
+    def _dispatch_adaptive_embed_host(self, out, frames, full_shape, n):
+        """'host' transfer plan variant of :meth:`_dispatch_adaptive_embed`:
+        the per-face ``(ws, ws)`` windows are sliced from the
+        host-resident original frames and uploaded — at typical
+        occupancy a small fraction of the full-frame bytes. The warp
+        program is the same family with the dynamic-slice removed
+        (``from_windows``), so the crops are bit-identical. Oversized
+        faces or tiny frames upload the full frames once and take the
+        ordinary device path, exactly like the device plan's fallback.
+        """
+        frames = np.asarray(frames)
+        b = frames.shape[0]
+        fh, fw = full_shape
+        plan = self._plan_adaptive_embed(out, b, fh, fw)
+        if plan is None:
+            return None
+        packed, k, ws, group = plan
+        if ws is None:
+            frames_dev = self.put_frames(frames)
+            fn = self._warp_embed_fn(k, frames_dev.shape)
+            emb = fn(self.rec_params, frames_dev,
+                     self._put_batch(packed[..., :7]))
+        else:
+            c = frames.shape[3]
+            wins = np.zeros((b, k, ws, ws, c), np.uint8)
+            valid_ij = np.argwhere(packed[..., 6] > 0.5)
+            for i, j in valid_ij:
+                oy = int(packed[i, j, 7])
+                ox = int(packed[i, j, 8])
+                wins[i, j] = frames[i, oy:oy + ws, ox:ox + ws]
+            fn = self._warp_embed_window_fn(
+                k, ws, (b, fh, fw, c), group=group, from_windows=True,
+            )
+            emb = fn(self.rec_params, self._put_batch(wins),
+                     self._put_batch(packed))
         if hasattr(emb, "copy_to_host_async"):
             emb.copy_to_host_async()
         return emb
@@ -1121,7 +1361,10 @@ class PerceptionPipeline:
             depth = get_config().pipeline_depth
         depth = max(1, depth)
 
-        if prefetch and self.mesh is None:
+        if prefetch and self.mesh is None and self.transfer_plan == "device":
+            # The 'host' plan never uploads the full frames, so
+            # pre-uploading them here would defeat it; its own uploads
+            # (resizes + windows) are small and dispatched inline.
             from terran_tpu.io.video.prefetch import threaded_device_put
 
             batches = threaded_device_put(

@@ -515,3 +515,74 @@ def test_escalation_embed_covers_crowd(tiny_pipeline_params, rng):
         out_esc["embeddings"][:, :k][both],
         out_big["embeddings"][:, :k][both], atol=2e-4,
     )
+
+
+def test_transfer_plan_host_matches_device(tiny_pipeline_params, rng):
+    """The 'host' transfer plan (upload resizes + per-face windows
+    instead of full frames) must produce BIT-identical results to the
+    device plan: the host resize is the same bilinear, and the window
+    program gathers the same pixels the device dynamic-slice would."""
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    pipe_d = _make_pipeline(tiny_pipeline_params)
+    pipe_h = _make_pipeline(tiny_pipeline_params, transfer_plan="host")
+    # Small window bucket so the windowed path actually runs here.
+    pipe_d.embed_windows = [64]
+    pipe_h.embed_windows = [64]
+    out_d = pipe_d.process_batch(frames)
+    out_h = pipe_h.process_batch(frames)
+    for key in ("boxes", "landmarks", "scores", "mask"):
+        np.testing.assert_array_equal(out_d[key], out_h[key])
+    np.testing.assert_array_equal(out_d["embeddings"], out_h["embeddings"])
+    np.testing.assert_array_equal(
+        out_d["embeddings_mask"], out_h["embeddings_mask"]
+    )
+    assert len(out_d["poses"]) == len(out_h["poses"])
+    for pd_, ph_ in zip(out_d["poses"], out_h["poses"]):
+        assert len(pd_) == len(ph_)
+        for a, b in zip(pd_, ph_):
+            np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+
+
+def test_transfer_plan_host_oversized_face_fallback(
+        tiny_pipeline_params, rng):
+    """Faces exceeding every window bucket upload the full frames and
+    take the device full-frame program, exactly like the device plan."""
+    pipe_h = _make_pipeline(tiny_pipeline_params, transfer_plan="host")
+    pipe_d = _make_pipeline(tiny_pipeline_params)
+    pipe_h.embed_windows = []   # force the full-frame fallback
+    pipe_d.embed_windows = []
+    frames = rng.integers(0, 255, (1, 96, 128, 3), dtype=np.uint8)
+    out_h = pipe_h.process_batch(frames)
+    out_d = pipe_d.process_batch(frames)
+    np.testing.assert_array_equal(out_d["embeddings"], out_h["embeddings"])
+
+
+def test_transfer_plan_host_requires_adaptive(tiny_pipeline_params):
+    with pytest.raises(ValueError, match="adaptive"):
+        _make_pipeline(
+            tiny_pipeline_params, transfer_plan="host",
+            embed_dispatch="fused",
+        )
+
+
+def test_transfer_plan_host_escalation_and_stream(
+        tiny_pipeline_params, rng):
+    """Detect escalation re-dispatches on the resident det-resized
+    upload under the 'host' plan, and the streamed path (frame prefetch
+    disabled — the full frames never upload) matches process_batch."""
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    esc = _make_pipeline(
+        tiny_pipeline_params, top_k=64, max_escalations=2,
+        transfer_plan="host",
+    )
+    out_esc = esc.process_batch(frames)
+    assert esc.escalations["detect"] >= 1
+    assert not out_esc["det_overflow"].any()
+    ref = _make_pipeline(
+        tiny_pipeline_params, top_k=64, max_escalations=2,
+    ).process_batch(frames)
+    np.testing.assert_array_equal(out_esc["boxes"], ref["boxes"])
+
+    streamed = list(esc.process_stream([frames, frames]))
+    for out in streamed:
+        np.testing.assert_array_equal(out["boxes"], out_esc["boxes"])

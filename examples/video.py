@@ -39,8 +39,13 @@ from terran_tpu.vis import vis_faces
               help="'task' = Detection API (host resize, reference "
                    "semantics); 'pipeline' = fused on-device path with "
                    "software-pipelined batches.")
+@click.option("--transfer-plan", type=click.Choice(["device", "host"]),
+              default="device",
+              help="Pipeline engine only: 'host' uploads the resizes and "
+                   "per-face windows instead of the raw frames (faster on "
+                   "link-bound hosts; identical results).")
 def find_video(video_path, output_path, threshold, batch_size, duration,
-               framerate, start_time, workers, engine):
+               framerate, start_time, workers, engine, transfer_plan):
     reader_options = dict(
         batch_size=batch_size,
         read_for=duration,
@@ -60,6 +65,7 @@ def find_video(video_path, output_path, threshold, batch_size, duration,
 
         pipeline = PerceptionPipeline(
             threshold=threshold, with_pose=False, with_embeddings=False,
+            transfer_plan=transfer_plan,
         )
         with click.progressbar(length=len(video)) as bar:
             for frames, out in _pipeline_stream(pipeline, video):

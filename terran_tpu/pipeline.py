@@ -856,6 +856,36 @@ class PerceptionPipeline:
             return contextlib.nullcontext()
         return self.timer.stage(name, items)
 
+    def _host_prep(self, frames):
+        """Host-side stage of the 'host' transfer plan for one batch:
+        mesh padding, the detect/pose resizes, and their uploads.
+        Returns the staged dict ``dispatch_batch`` consumes.
+        ``process_stream`` runs this on the uploader thread so the
+        resize + upload work overlaps dispatch, compute wait, and
+        result downloads — ``jax.device_put`` can block the calling
+        thread on tunneled runtimes (see io.video.prefetch)."""
+        if not hasattr(frames, "shape"):
+            frames = np.asarray(frames)
+        frames = np.asarray(frames)
+        n = frames.shape[0]
+        if self.mesh is not None:
+            frames, n = pad_batch_to_multiple(frames, self.mesh.size)
+        full_h, full_w = frames.shape[1:3]
+        det_h, det_w, _ = resized_shape(
+            full_h, full_w, self.det_short_side
+        )
+        det_dev = self.put_frames(self._host_resize(frames, det_h, det_w))
+        pose_dev = None
+        if self.with_pose and self.pose_params is not None:
+            pose_h, pose_w, _ = resized_shape(
+                full_h, full_w, self.pose_short_side
+            )
+            pose_dev = self.put_frames(
+                self._host_resize(frames, pose_h, pose_w)
+            )
+        return {"frames": frames, "n": n, "det_dev": det_dev,
+                "pose_dev": pose_dev}
+
     def _dispatch_perception(self, frames_dev, top_k=None, pre_shape=None):
         """Enqueue the detection program (and, in fused embed mode, the
         embedding program) on resident frames and start the result
@@ -900,27 +930,36 @@ class PerceptionPipeline:
         if stage is None:
             stage = self._stage
 
-        if not hasattr(frames, "shape"):
-            frames = np.asarray(frames)
-        n = frames.shape[0]
-        if self.mesh is not None:
-            # Mesh padding needs host-side concatenation.
-            frames, n = pad_batch_to_multiple(np.asarray(frames), self.mesh.size)
+        hostprep = self.transfer_plan == "host"
+        prep = None
+        if isinstance(frames, dict) and "det_dev" in frames:
+            # Already staged by _host_prep (process_stream moves it to
+            # the uploader thread so resize + upload overlap dispatch).
+            prep = frames
+        elif hostprep:
+            with stage("host_prep"):
+                prep = self._host_prep(frames)
+
+        if prep is not None:
+            frames = prep["frames"]
+            n = prep["n"]
+        else:
+            if not hasattr(frames, "shape"):
+                frames = np.asarray(frames)
+            n = frames.shape[0]
+            if self.mesh is not None:
+                # Mesh padding needs host-side concatenation.
+                frames, n = pad_batch_to_multiple(
+                    np.asarray(frames), self.mesh.size
+                )
 
         full_h, full_w = frames.shape[1:3]
-        hostprep = self.transfer_plan == "host"
         if hostprep:
-            # 'host' plan: upload the detection-bucket resize instead of
-            # the full frames; the originals stay host-resident for the
-            # per-face embed windows sliced in finalize_batch.
-            frames = np.asarray(frames)
-            det_h, det_w, _ = resized_shape(
-                full_h, full_w, self.det_short_side
-            )
-            with stage("host_resize", items=n):
-                det_np = self._host_resize(frames, det_h, det_w)
-            with stage("h2d", items=n):
-                frames_dev = self.put_frames(det_np)
+            # 'host' plan: the detection-bucket resize crossed the link
+            # instead of the full frames; the originals stay
+            # host-resident for the per-face embed windows sliced in
+            # finalize_batch.
+            frames_dev = prep["det_dev"]
             with stage("perception_step", items=n):
                 out = self._dispatch_perception(
                     frames_dev, pre_shape=(full_h, full_w)
@@ -959,10 +998,7 @@ class PerceptionPipeline:
                 full_h, full_w, self.pose_short_side
             )
             if hostprep:
-                with stage("host_resize", items=n):
-                    pose_np = self._host_resize(frames, pose_h, pose_w)
-                with stage("h2d", items=n):
-                    pose_in = self.put_frames(pose_np)
+                pose_in = prep["pose_dev"]
                 pd_kwargs = {"pre_resized": True}
             else:
                 pose_in = frames_dev
@@ -1361,15 +1397,17 @@ class PerceptionPipeline:
             depth = get_config().pipeline_depth
         depth = max(1, depth)
 
-        if prefetch and self.mesh is None and self.transfer_plan == "device":
-            # The 'host' plan never uploads the full frames, so
-            # pre-uploading them here would defeat it; its own uploads
-            # (resizes + windows) are small and dispatched inline.
+        if prefetch and self.mesh is None:
             from terran_tpu.io.video.prefetch import threaded_device_put
 
-            batches = threaded_device_put(
-                batches, depth=depth, put=self.put_frames
+            # Device plan: pre-upload the raw frames. Host plan: run the
+            # whole host-prep stage (resizes + their uploads) on the
+            # uploader thread instead — the full frames never upload.
+            put = (
+                self._host_prep if self.transfer_plan == "host"
+                else self.put_frames
             )
+            batches = threaded_device_put(batches, depth=depth, put=put)
 
         pending = deque()
         for frames in batches:

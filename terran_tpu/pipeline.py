@@ -706,6 +706,15 @@ class PerceptionPipeline:
             det_h, det_w, _ = resized_shape(
                 height, width, self.det_short_side
             )
+            # Compile the host-side CPU resizes too (first streamed
+            # batch otherwise pays them).
+            zeros = np.zeros(frames_shape, np.uint8)
+            self._host_resize(zeros, det_h, det_w)
+            if self.with_pose and self.pose_params is not None:
+                ph, pw, _ = resized_shape(
+                    height, width, self.pose_short_side
+                )
+                self._host_resize(zeros, ph, pw)
             frames = self.put_frames(
                 np.zeros((batch, det_h, det_w, 3), np.uint8)
             )

@@ -105,3 +105,27 @@ def test_enabled_resolution():
     assert fused_peaks_enabled("off") is False
     # 'auto' is False on the CPU test backend.
     assert fused_peaks_enabled("auto") is False
+
+
+def test_row_piece_tie_plateau_flags_overflow():
+    """The per-(cell, ry) top-2 pre-selection can only drop candidates
+    when one row piece holds 3+ exact-tie peaks (a flat plateau — within
+    one piece the interpolant is a single cubic, which otherwise admits
+    at most two discrete maxima). A one-row plateau constructs exactly
+    that: the XLA path keeps every plateau pixel with NO overflow (count
+    fits the slots), and the kernel must raise the overflow flag to mark
+    its kept set as incomplete rather than silently dropping."""
+    heat = np.zeros((16, 26, 1), np.float32)
+    heat[4, 10:14, 0] = 0.9
+    c0, s0, v0, o0 = reference(heat, 0.1, 16)
+    c1, s1, v1, o1 = fused(heat, 0.1, 16)
+    assert int(v0.sum()) > int(v1.sum())   # candidates were dropped...
+    assert not o0[0] and bool(o1[0])       # ...and the flag says so
+    # Every kept peak is a real XLA-path peak at plateau height.
+    kept = {tuple(p) for p in c1[0][v1[0]]}
+    ref_scores = {
+        tuple(p): s for p, s in zip(c0[0][v0[0]], s0[0][v0[0]])
+    }
+    assert kept <= set(ref_scores)
+    for p, s in zip(c1[0][v1[0]], s1[0][v1[0]]):
+        np.testing.assert_allclose(s, ref_scores[tuple(p)], rtol=1e-5)

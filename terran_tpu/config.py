@@ -92,6 +92,16 @@ class Config:
 
     # Numerics.
     compute_dtype: str = "bfloat16"
+    # Embedding (ArcFace) precision: 'native' follows compute_dtype;
+    # 'int8' quantises the residual-trunk convs to int8 (per-channel
+    # weight scales, dynamic per-tensor activation scales) for the MXU's
+    # 2x int8 throughput. Opt-in: the reference has no quantised path,
+    # so parity runs never take it (models/arcface.py apply_int8).
+    embed_precision: str = "native"
+    # Pose (OpenPose) precision: same opt-in int8 recipe for the CPM
+    # trunk whose 7x7 stage convs dominate its FLOPs
+    # (models/openpose.py apply_int8).
+    pose_precision: str = "native"
 
     # Pose peak finding: 'auto' uses the fused Pallas upsample+peak-scan
     # kernel on TPU and the XLA path elsewhere; 'on'/'off' force it.

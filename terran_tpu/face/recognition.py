@@ -22,7 +22,9 @@ import jax.numpy as jnp
 
 from terran_tpu.checkpoint import get_class_for_checkpoint, load_checkpoint_params
 from terran_tpu.config import get_config
-from terran_tpu.models.arcface import FaceResNet100, normalize_embeddings
+from terran_tpu.models.arcface import (
+    FaceResNet100, apply_int8, normalize_embeddings, quantize_params,
+)
 from terran_tpu.ops.warp import alignment_matrices, warp_affine_batch
 from terran_tpu.runtime import (
     PARAMS_KEEP_F32, cast_params_for_compute, default_policy,
@@ -65,7 +67,7 @@ class ArcFaceRecognizer:
     CHECKPOINT_CLASS = "terran_tpu.face.recognition.ArcFaceRecognizer"
 
     def __init__(self, params=None, compute_dtype=None, device=None,
-                 image_side=None):
+                 image_side=None, embed_precision=None):
         if image_side is None:
             image_side = get_config().recognition_crop_side
         if params is None:
@@ -77,12 +79,22 @@ class ArcFaceRecognizer:
         # torch device kwarg; default is the first accelerator.
         import jax
         dtype = compute_dtype or default_policy().compute_dtype
-        # Pre-cast f32 weights to the compute dtype (bit-identical, minus
-        # the per-execution HBM read of the 65 MB f32 copy); the f32-
-        # accumulated 'embed' Dense stays f32 (PARAMS_KEEP_F32).
-        params = cast_params_for_compute(
-            params, dtype, keep_f32=PARAMS_KEEP_F32["arcface"]
+        self.embed_precision = (
+            get_config().embed_precision if embed_precision is None
+            else embed_precision
         )
+        if self.embed_precision == "int8":
+            # Opt-in int8 trunk (models.arcface.apply_int8): quantise
+            # from the f32 masters; 2x MXU rate, off for parity runs.
+            params = quantize_params(params, dtype)
+        else:
+            # Pre-cast f32 weights to the compute dtype (bit-identical,
+            # minus the per-execution HBM read of the 65 MB f32 copy);
+            # the f32-accumulated 'embed' Dense stays f32
+            # (PARAMS_KEEP_F32).
+            params = cast_params_for_compute(
+                params, dtype, keep_f32=PARAMS_KEEP_F32["arcface"]
+            )
         self.params = (
             jax.device_put(params, device) if device is not None
             else jax.device_put(params)
@@ -92,6 +104,17 @@ class ArcFaceRecognizer:
         self.model = FaceResNet100(compute_dtype=dtype)
         self._embed_fns = {}
         self._align_embed_fns = {}
+
+    def _apply(self, params, crops):
+        """Unnormalised features via the configured precision."""
+        if self.embed_precision == "int8":
+            return apply_int8(
+                params, crops, compute_dtype=self.model.compute_dtype
+            )
+        return self.model.apply(
+            {"params": params},
+            crops.astype(self.model.compute_dtype),
+        )
 
     def _embed(self, crops):
         """Embed (K, S, S, 3) float crops, bucketing K to a power of two."""
@@ -104,7 +127,7 @@ class ArcFaceRecognizer:
         if kb not in self._embed_fns:
             @jax.jit
             def fn(params, x):
-                feats = self.model.apply({"params": params}, x)
+                feats = self._apply(params, x)
                 return normalize_embeddings(feats.astype(jnp.float32))
             self._embed_fns[kb] = fn
         feats = self._embed_fns[kb](self.params, crops)
@@ -148,10 +171,7 @@ class ArcFaceRecognizer:
             def fn(params, image, mats):
                 crops = warp_affine_batch(image, mats, out_h=side, out_w=side)
                 crops = jnp.round(crops)  # reference warps to uint8
-                feats = self.model.apply(
-                    {"params": params},
-                    crops.astype(self.model.compute_dtype),
-                )
+                feats = self._apply(params, crops)
                 return normalize_embeddings(feats.astype(jnp.float32))
 
             self._align_embed_fns[key] = fn

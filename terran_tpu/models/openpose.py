@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from terran_tpu.models.layers import ConvBias, max_pool_2x2
+from terran_tpu.models.quant import quant_conv, quantize_conv_kernels
 
 PAF_CHANNELS = 38
 HEATMAP_CHANNELS = 19
@@ -92,3 +93,86 @@ class BodyPoseModel(nn.Module):
             heat = refine(2, HEATMAP_CHANNELS)
 
         return paf, heat
+
+
+# ---------------------------------------------------------------------------
+# Opt-in int8 inference path (see models/quant.py for the recipe and the
+# parity stance). The 7x7 stage convs that dominate this model's FLOPs
+# run int8 x int8 -> int32 on the MXU at 2x the bf16 rate; biases add in
+# f32 after dequantisation, activations re-quantise per conv.
+# ---------------------------------------------------------------------------
+
+
+def quantize_params(params, compute_dtype=jnp.float32):
+    """int8 param tree for :func:`apply_int8` (all convs quantised)."""
+    return quantize_conv_kernels(params, compute_dtype)
+
+
+class Int8BodyPoseModel:
+    """Duck-typed stand-in for :class:`BodyPoseModel` (same ``apply`` /
+    ``compute_dtype`` surface) running :func:`apply_int8`; its params
+    must be a :func:`quantize_params` tree."""
+
+    def __init__(self, compute_dtype=jnp.float32):
+        self.compute_dtype = jnp.dtype(compute_dtype)
+
+    def apply(self, variables, x):
+        return apply_int8(variables["params"], x, self.compute_dtype)
+
+
+def apply_int8(qparams, x, compute_dtype=jnp.float32):
+    """BodyPoseModel forward on the :func:`quantize_params` tree.
+
+    Mirrors :class:`BodyPoseModel.__call__` exactly — same layer names,
+    same stage-6 L2 ReLU quirk — with every conv quantised."""
+    dt = jnp.dtype(compute_dtype)
+    x = x.astype(dt)
+
+    def conv(name, h, kernel=3, pad=1, act="relu"):
+        p = qparams[name]["conv"]  # ConvBias nests nn.Conv as 'conv'
+        y = quant_conv(h, p, 1, pad, jnp.float32)
+        y = y + p["bias"].astype(jnp.float32)
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        return y.astype(dt)
+
+    h = conv("conv1_1", x)
+    h = conv("conv1_2", h)
+    h = max_pool_2x2(h)
+    h = conv("conv2_1", h)
+    h = conv("conv2_2", h)
+    h = max_pool_2x2(h)
+    for i in range(1, 5):
+        h = conv(f"conv3_{i}", h)
+    h = max_pool_2x2(h)
+    h = conv("conv4_1", h)
+    h = conv("conv4_2", h)
+    h = conv("conv4_3_CPM", h)
+    trunk = conv("conv4_4_CPM", h)
+
+    def stage1(branch):
+        h = trunk
+        for i in range(1, 4):
+            h = conv(f"conv5_{i}_CPM_L{branch}", h)
+        h = conv(f"conv5_4_CPM_L{branch}", h, kernel=1, pad=0)
+        return conv(f"conv5_5_CPM_L{branch}", h, kernel=1, pad=0,
+                    act="none")
+
+    paf, heat = stage1(1), stage1(2)
+
+    for stage in range(2, 7):
+        inp = jnp.concatenate([paf, heat, trunk], axis=-1)
+
+        def refine(branch, inp=inp, stage=stage):
+            h = inp
+            for i in range(1, 6):
+                h = conv(f"Mconv{i}_stage{stage}_L{branch}", h, kernel=7,
+                         pad=3)
+            h = conv(f"Mconv6_stage{stage}_L{branch}", h, kernel=1, pad=0)
+            act = "relu" if (stage == 6 and branch == 2) else "none"
+            return conv(f"Mconv7_stage{stage}_L{branch}", h, kernel=1,
+                        pad=0, act=act)
+
+        paf, heat = refine(1), refine(2)
+
+    return paf, heat

@@ -11,7 +11,9 @@ import numpy as np
 
 from terran_tpu.checkpoint import load_checkpoint_params
 from terran_tpu.config import get_config
-from terran_tpu.models.openpose import BodyPoseModel
+from terran_tpu.models.openpose import (
+    BodyPoseModel, Int8BodyPoseModel, quantize_params,
+)
 from terran_tpu.ops.pose_decode import make_pose_decode
 from terran_tpu.pose.assembly import assemble_humans, get_keypoints
 from terran_tpu.runtime import (
@@ -25,7 +27,8 @@ class OpenPoseEstimator:
     CHECKPOINT_CLASS = "terran_tpu.pose.openpose.OpenPoseEstimator"
 
     def __init__(self, params=None, short_side=None, compute_dtype=None,
-                 device=None, max_peaks=None, max_escalations=None):
+                 device=None, max_peaks=None, max_escalations=None,
+                 pose_precision=None):
         cfg = get_config()
         short_side = cfg.pose_short_side if short_side is None else short_side
         max_peaks = (
@@ -48,11 +51,21 @@ class OpenPoseEstimator:
         # torch device kwarg; default is the first accelerator.
         import jax
         dtype = compute_dtype or default_policy().compute_dtype
-        # Pre-cast f32 weights to the compute dtype (bit-identical, minus
-        # the per-execution HBM read of the f32 copy).
-        params = cast_params_for_compute(
-            params, dtype, keep_f32=PARAMS_KEEP_F32["openpose"]
+        self.pose_precision = (
+            cfg.pose_precision if pose_precision is None
+            else pose_precision
         )
+        if self.pose_precision == "int8":
+            # Opt-in int8 CPM trunk (models.openpose.apply_int8):
+            # quantise from the f32 masters; 2x MXU rate, off for
+            # parity runs.
+            params = quantize_params(params, dtype)
+        else:
+            # Pre-cast f32 weights to the compute dtype (bit-identical,
+            # minus the per-execution HBM read of the f32 copy).
+            params = cast_params_for_compute(
+                params, dtype, keep_f32=PARAMS_KEEP_F32["openpose"]
+            )
         self.params = (
             jax.device_put(params, device) if device is not None
             else jax.device_put(params)
@@ -67,7 +80,11 @@ class OpenPoseEstimator:
         self.human_threshold = cfg.human_score_threshold
         self.downsampling_ratio = 8
 
-        self.model = BodyPoseModel(compute_dtype=dtype)
+        self.model = (
+            Int8BodyPoseModel(compute_dtype=dtype)
+            if self.pose_precision == "int8"
+            else BodyPoseModel(compute_dtype=dtype)
+        )
         self._decode_fns = {}
         self._resize_in, _ = resize_factory(short_side=short_side)
 

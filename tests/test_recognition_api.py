@@ -46,6 +46,23 @@ def test_call_with_faces_splits_per_image(recognizer, rng):
     )
 
 
+def test_int8_recognizer_tracks_native(recognizer, rng):
+    """embed_precision='int8' on the task-API wrapper: same contract,
+    embeddings close enough to preserve identity ranking."""
+    sd, rec = recognizer
+    rec8 = ArcFaceRecognizer(
+        params=convert_arcface(sd), embed_precision="int8"
+    )
+    image = rng.integers(0, 255, (200, 200, 3), dtype=np.uint8)
+    faces = [[_face_at(100, 100), _face_at(60, 60)]]
+    a = rec.call([image], faces)[0]
+    b = rec8.call([image], faces)[0]
+    assert b.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(b, axis=1), 1.0, rtol=1e-5)
+    cos = (a * b).sum(-1)
+    assert (cos > 0.97).all(), cos
+
+
 def test_call_empty_faces(recognizer, rng):
     _, rec = recognizer
     images = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)]

@@ -412,6 +412,9 @@ def main():
     # rounds incomparable. BENCH_ESCALATIONS=N turns it on; the JSON
     # always reports how often it fired.
     max_escalations = int(os.environ.get("BENCH_ESCALATIONS", 0))
+    # BENCH_EMBED_PRECISION=int8 measures the opt-in quantised ArcFace
+    # trunk (models/arcface.py apply_int8); default follows config.
+    embed_precision = os.environ.get("BENCH_EMBED_PRECISION")
     pipeline = PerceptionPipeline(
         det_params=params["retinaface"],
         rec_params=params["arcface"],
@@ -422,6 +425,7 @@ def main():
         with_pose=with_pose,
         timer=timer,
         max_escalations=max_escalations,
+        embed_precision=embed_precision,
     )
 
     rng = np.random.default_rng(0)
@@ -460,28 +464,39 @@ def main():
     # network-attached hosts). Measured as its own sweep set; the
     # headline is the better plan, named in the JSON.
     host_sweeps = []
+    host_plan_error = None
     if os.environ.get("BENCH_HOST_PLAN", "1") != "0":
-        pipeline_host = PerceptionPipeline(
-            det_params=params["retinaface"],
-            rec_params=params["arcface"],
-            pose_params=params["openpose"],
-            max_faces=max_faces,
-            top_k=64,
-            max_peaks=16,
-            with_pose=with_pose,
-            max_escalations=max_escalations,
-            transfer_plan="host",
-        )
-        pipeline_host.process_batch(batches[0])
-        for _ in pipeline_host.process_stream(batches[:2], depth=depth):
-            pass
-        for _ in range(5):
-            t0 = time.time()
-            for _out in pipeline_host.process_stream(batches, depth=depth):
-                pass
-            host_sweeps.append(
-                round(batch_size * num_batches / (time.time() - t0), 2)
+        # Guarded: a host-plan failure must not abort the benchmark
+        # after the device-plan sweeps already spent their relay time —
+        # record the error in the JSON and keep the device-plan number.
+        try:
+            pipeline_host = PerceptionPipeline(
+                det_params=params["retinaface"],
+                rec_params=params["arcface"],
+                pose_params=params["openpose"],
+                max_faces=max_faces,
+                top_k=64,
+                max_peaks=16,
+                with_pose=with_pose,
+                max_escalations=max_escalations,
+                transfer_plan="host",
+                embed_precision=embed_precision,
             )
+            pipeline_host.process_batch(batches[0])
+            for _ in pipeline_host.process_stream(batches[:2], depth=depth):
+                pass
+            for _ in range(5):
+                t0 = time.time()
+                for _out in pipeline_host.process_stream(
+                    batches, depth=depth
+                ):
+                    pass
+                host_sweeps.append(
+                    round(batch_size * num_batches / (time.time() - t0), 2)
+                )
+        except Exception as exc:  # noqa: BLE001
+            host_sweeps = []
+            host_plan_error = f"{type(exc).__name__}: {exc}"
     host_fps = statistics.median(host_sweeps) if host_sweeps else None
     plan_used = "device"
     if host_fps is not None and host_fps > fps:
@@ -511,7 +526,9 @@ def main():
         ),
         "sweeps": sweeps,
         "host_plan_sweeps": host_sweeps or None,
+        "host_plan_error": host_plan_error,
         "transfer_plan_used": plan_used,
+        "embed_precision": embed_precision or "native",
         "device_only_fps": round(device_only_fps, 2),
         "device_only_fps_typical": (
             round(device_typical_fps, 2) if device_typical_fps else None

@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 
-def scan_time(fn, args, *, perturb_index=0, iters=32, warm=True, reps=3):
+def scan_time(fn, args, *, perturb_index=0, iters=32, reps=3):
     """Slope-timed device cost of ``fn(*args)``.
 
     fn must be jit-compatible; args[perturb_index] must be an array whose
@@ -80,10 +80,6 @@ def scan_time(fn, args, *, perturb_index=0, iters=32, warm=True, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    if not warm:
-        # Timing that includes no prior execution is impossible here (the
-        # accumulator run above already executed); kept for API compat.
-        pass
     t_lo = timed(n_lo)
     t_hi = timed(n_hi)
     steps = int(n_hi) - int(n_lo)

@@ -106,13 +106,14 @@ def bench_pose_latency(params, iters):
             "value": round(_p50(samples), 2), "unit": "ms"}
 
 
-def bench_match_throughput(params, iters):
+def bench_match_throughput(params, iters, plan=None):
     """Detect + embed over same-size images (match.py per-image shape)."""
     from terran_tpu.pipeline import PerceptionPipeline
 
     pipe = PerceptionPipeline(
         det_params=params["retinaface"], rec_params=params["arcface"],
         pose_params=None, with_pose=False, max_faces=8, top_k=64,
+        transfer_plan=plan,
     )
     rng = np.random.default_rng(0)
     images = rng.integers(0, 255, (8, 720, 1280, 3), dtype=np.uint8)
@@ -152,7 +153,7 @@ def bench_video_detection(params, iters):
             "value": round(count / dt, 2), "unit": "frames/sec"}
 
 
-def bench_full_pipeline(params, iters):
+def bench_full_pipeline(params, iters, plan=None):
     """Config 5: concurrent streams through the fused pipeline."""
     from terran_tpu.io.streams import MultiStreamPerception
     from terran_tpu.io.video.synthetic import SyntheticVideo
@@ -161,6 +162,7 @@ def bench_full_pipeline(params, iters):
     pipe = PerceptionPipeline(
         det_params=params["retinaface"], rec_params=params["arcface"],
         pose_params=params["openpose"], max_faces=8, top_k=64, max_peaks=16,
+        transfer_plan=plan,
     )
     frames_per_stream = 4 * max(iters, 2)
     streams = [
@@ -197,13 +199,25 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--configs", default="0,1,2,3,4,5")
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--plan", default=None, choices=("device", "host"),
+        help="transfer plan for the pipeline configs (3 and 5); "
+             "default = config.transfer_plan",
+    )
     args = parser.parse_args()
 
     iters = 3 if args.quick else 10
     params = _params()
     for key in args.configs.split(","):
-        result = BENCHES[key.strip()](params, iters)
+        fn = BENCHES[key.strip()]
+        kwargs = (
+            {"plan": args.plan}
+            if key.strip() in ("3", "5") and args.plan else {}
+        )
+        result = fn(params, iters, **kwargs)
         result["config"] = int(key)
+        if kwargs:
+            result["transfer_plan"] = args.plan
         print(json.dumps(result), flush=True)
 
 

@@ -274,10 +274,10 @@ def _fused_peak_candidates(planes, threshold, max_peaks, factor, band_rows,
         planes, ((0, 0), (_PAD, _PAD), (_PAD, _PAD)), mode="edge"
     )
     padded = jnp.pad(
-        padded, ((0, m_pad - m), (0, rows_padded - padded.shape[1]),
-                 (0, 0)),
+        padded, ((0, 0), (0, rows_padded - padded.shape[1]), (0, 0)),
         mode="edge",
     )
+    padded = jnp.pad(padded, ((0, m_pad - m), (0, 0), (0, 0)))
 
     kernel = functools.partial(
         _band_kernel, factor=factor, tb=band_rows, h=h, w=w,

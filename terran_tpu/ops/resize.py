@@ -53,6 +53,42 @@ def resize_bilinear(images, out_h, out_w):
     return x
 
 
+@functools.lru_cache(maxsize=64)
+def _axis_taps(in_size, out_size):
+    """Per-output-pixel (lo index, hi index, f32 lo/hi weights) for one
+    axis — the 2-tap form of ``_axis_weights``'s rows, with the weights
+    cast from the same float64 arithmetic so the values are identical."""
+    src = (np.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+    x0 = np.floor(src).astype(np.int64)
+    frac = src - x0
+    lo = np.clip(x0, 0, in_size - 1)
+    hi = np.clip(x0 + 1, 0, in_size - 1)
+    return (lo, hi, (1.0 - frac).astype(np.float32),
+            frac.astype(np.float32))
+
+
+def resize_bilinear_u8_numpy(images, out_h, out_w):
+    """Host twin of ``resize_bilinear`` + round, for machines whose
+    JAX_PLATFORMS pins the accelerator only (no XLA CPU backend — the
+    axon relay does this). The device version is a dense matmul because
+    that is what the MXU wants; on CPU the separable 2-tap gather+lerp
+    computes the same sums in ~1% of the FLOPs. Weights are the same
+    float64-derived f32 values, and np.rint / jnp.round are both
+    half-to-even, so outputs agree with the jitted path except where a
+    <=1-ulp FMA/ordering difference lands on an exact .5 boundary."""
+    images = np.asarray(images)
+    n, h, w, c = images.shape
+    y0, y1, wy0, wy1 = _axis_taps(h, out_h)
+    x0, x1, wx0, wx1 = _axis_taps(w, out_w)
+    # uint8 * f32 upcasts exactly; gathering first avoids a full-size
+    # float32 copy of the input.
+    x = (images[:, y0] * wy0[None, :, None, None]
+         + images[:, y1] * wy1[None, :, None, None])
+    x = (x[:, :, x0] * wx0[None, None, :, None]
+         + x[:, :, x1] * wx1[None, None, :, None])
+    return np.rint(x).astype(np.uint8)
+
+
 def resized_shape(h, w, short_side):
     """The (out_h, out_w, scale) the task APIs' resize produces
     (utils/batching.py resize_factory)."""

@@ -38,13 +38,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from terran_tpu.models.arcface import FaceResNet100, normalize_embeddings
-from terran_tpu.models.openpose import BodyPoseModel
+from terran_tpu.models.arcface import (
+    FaceResNet100, apply_int8, normalize_embeddings, quantize_params,
+)
+from terran_tpu.models.openpose import (
+    BodyPoseModel, Int8BodyPoseModel,
+    quantize_params as quantize_pose_params,
+)
 from terran_tpu.models.retinaface import (
     RetinaFace, anchors_for_shape, decode_outputs,
 )
 from terran_tpu.ops.nms import nms_fixed
-from terran_tpu.ops.resize import resize_bilinear, resized_shape
+from terran_tpu.ops.resize import (
+    resize_bilinear, resize_bilinear_u8_numpy, resized_shape,
+)
 from terran_tpu.ops.fused_peaks import fused_peaks_enabled
 from terran_tpu.ops.pose_decode import (
     NUM_LIMBS, NUM_PARTS, forward_and_find_peaks, limb_scores, pack_peaks,
@@ -90,7 +97,8 @@ class PerceptionPipeline:
                  max_peaks=None, compute_dtype=None, mesh=None,
                  with_pose=True, with_embeddings=True, timer=None,
                  embed_dispatch=None, limb_dispatch=None,
-                 max_escalations=None, transfer_plan=None):
+                 max_escalations=None, transfer_plan=None,
+                 embed_precision=None, pose_precision=None):
         from terran_tpu.checkpoint import load_checkpoint_params
         from terran_tpu.config import get_config
 
@@ -159,16 +167,50 @@ class PerceptionPipeline:
         self.det_params = put(
             cast(det_params, dtype, keep_f32=PARAMS_KEEP_F32["retinaface"])
         )
-        self.rec_params = (
-            put(cast(rec_params, dtype,
-                     keep_f32=PARAMS_KEEP_F32["arcface"]))
-            if rec_params is not None else None
+        # Embedding precision: 'native' runs FaceResNet100 in the compute
+        # dtype; 'int8' derives a quantised param tree (from the f32
+        # masters, before any bf16 cast) and routes every embed program
+        # through models.arcface.apply_int8 — the MXU's int8 rate is 2x
+        # bf16. Opt-in; see config.embed_precision.
+        self.embed_precision = (
+            cfg.embed_precision if embed_precision is None
+            else embed_precision
         )
-        self.pose_params = (
-            put(cast(pose_params, dtype,
-                     keep_f32=PARAMS_KEEP_F32["openpose"]))
-            if pose_params is not None else None
+        if self.embed_precision not in ("native", "int8"):
+            raise ValueError(
+                f"embed_precision must be 'native' or 'int8', got "
+                f"{self.embed_precision!r}"
+            )
+        if rec_params is None:
+            self.rec_params = None
+        elif self.embed_precision == "int8":
+            self.rec_params = put(quantize_params(rec_params, dtype))
+        else:
+            self.rec_params = put(
+                cast(rec_params, dtype, keep_f32=PARAMS_KEEP_F32["arcface"])
+            )
+        # Same opt-in int8 recipe for the pose CPM trunk (its 7x7 stage
+        # convs dominate the pose program's FLOPs); the duck-typed
+        # Int8BodyPoseModel slots into forward_and_find_peaks unchanged.
+        self.pose_precision = (
+            cfg.pose_precision if pose_precision is None
+            else pose_precision
         )
+        if self.pose_precision not in ("native", "int8"):
+            raise ValueError(
+                f"pose_precision must be 'native' or 'int8', got "
+                f"{self.pose_precision!r}"
+            )
+        if pose_params is None:
+            self.pose_params = None
+        elif self.pose_precision == "int8":
+            self.pose_model = Int8BodyPoseModel(compute_dtype=dtype)
+            self.pose_params = put(quantize_pose_params(pose_params, dtype))
+        else:
+            self.pose_params = put(
+                cast(pose_params, dtype,
+                     keep_f32=PARAMS_KEEP_F32["openpose"])
+            )
 
         # Dispatch modes: 'adaptive' sizes the warp+embed program to the
         # detected face count (the reference embeds exactly the detected
@@ -368,6 +410,19 @@ class PerceptionPipeline:
         self._step_fns[key] = step
         return step
 
+    def _apply_embed(self, rec_params, crops):
+        """Unnormalised (N, 512) f32 features for flat uint8-valued
+        crops, via the configured embedding precision."""
+        if self.embed_precision == "int8":
+            return apply_int8(
+                rec_params, crops,
+                compute_dtype=self.rec_model.compute_dtype,
+            )
+        return self.rec_model.apply(
+            {"params": rec_params},
+            crops.astype(self.rec_model.compute_dtype),
+        )
+
     def _embed_fn(self):
         if hasattr(self, "_embed_jit"):
             return self._embed_jit
@@ -375,10 +430,7 @@ class PerceptionPipeline:
         def embed(rec_params, crops, emb_mask):
             b, f = crops.shape[:2]
             flat = crops.reshape((-1,) + crops.shape[2:])
-            feats = self.rec_model.apply(
-                {"params": rec_params},
-                flat.astype(self.rec_model.compute_dtype),
-            )
+            feats = self._apply_embed(rec_params, flat)
             feats = normalize_embeddings(feats.astype(jnp.float32))
             feats = feats.reshape(b, f, -1)
             feats = jnp.where(emb_mask[..., None], feats, 0.0)
@@ -418,10 +470,7 @@ class PerceptionPipeline:
             )(frames, mats)
             crops = jnp.round(crops)  # reference warps to uint8
             flat = crops.reshape((-1,) + crops.shape[2:])
-            feats = self.rec_model.apply(
-                {"params": rec_params},
-                flat.astype(self.rec_model.compute_dtype),
-            )
+            feats = self._apply_embed(rec_params, flat)
             feats = normalize_embeddings(feats.astype(jnp.float32))
             feats = feats.reshape(b, k_slots, -1)
             feats = jnp.where(valid[..., None], feats, 0.0)
@@ -500,10 +549,7 @@ class PerceptionPipeline:
                 )
             )(wflat, mats, oyx.reshape(-1, 2))
             crops = jnp.round(crops)  # reference warps to uint8
-            feats = self.rec_model.apply(
-                {"params": rec_params},
-                crops.astype(self.rec_model.compute_dtype),
-            )
+            feats = self._apply_embed(rec_params, crops)
             feats = normalize_embeddings(feats.astype(jnp.float32))
             feats = jnp.where(valid[:, None], feats, 0.0)
             packed_out = jnp.concatenate(
@@ -845,15 +891,26 @@ class PerceptionPipeline:
         key = (out_h, out_w)
         fn = self._host_resize_fns.get(key)
         if fn is None:
-            cpu = jax.local_devices(backend="cpu")[0]
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                # JAX_PLATFORMS pinned to the accelerator only (the axon
+                # relay does this): no XLA CPU backend exists. Fall back
+                # to numpy BLAS with the SAME interpolation matrices
+                # (np.rint and jnp.round are both half-to-even).
+                cpu = None
+            if cpu is None:
+                fn = functools.partial(
+                    resize_bilinear_u8_numpy, out_h=out_h, out_w=out_w
+                )
+            else:
+                def resize_cpu(x):
+                    return jnp.round(
+                        resize_bilinear(x, out_h, out_w)
+                    ).astype(jnp.uint8)
 
-            def resize_cpu(x):
-                return jnp.round(
-                    resize_bilinear(x, out_h, out_w)
-                ).astype(jnp.uint8)
-
-            jitted = jax.jit(resize_cpu)
-            fn = lambda x: np.asarray(jitted(jax.device_put(x, cpu)))
+                jitted = jax.jit(resize_cpu)
+                fn = lambda x: np.asarray(jitted(jax.device_put(x, cpu)))
             self._host_resize_fns[key] = fn
         return fn(np.asarray(frames))
 
@@ -873,8 +930,6 @@ class PerceptionPipeline:
         resize + upload work overlaps dispatch, compute wait, and
         result downloads — ``jax.device_put`` can block the calling
         thread on tunneled runtimes (see io.video.prefetch)."""
-        if not hasattr(frames, "shape"):
-            frames = np.asarray(frames)
         frames = np.asarray(frames)
         n = frames.shape[0]
         if self.mesh is not None:

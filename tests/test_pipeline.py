@@ -8,8 +8,8 @@ from cv2 import INTER_LINEAR, resize as cv2_resize
 
 from terran_tpu.ops.resize import resize_bilinear, resized_shape
 from terran_tpu.ops.warp import (
-    ARCFACE_TEMPLATE, alignment_matrix, alignment_matrices_jax, umeyama,
-    umeyama_jax,
+    ARCFACE_TEMPLATE, WARP_GROUPS, alignment_matrix, alignment_matrices_jax,
+    umeyama, umeyama_jax,
 )
 from terran_tpu.parallel.mesh import (
     create_mesh, pad_batch_to_multiple, shard_batch,
@@ -335,9 +335,9 @@ def test_windowed_embed_matches_full_frame(tiny_pipeline_params, rng):
 
     assert all(len(k) == 5 for k in full_keys)       # (k, b, h, w, c)
     # (k, ws, group, b, h, w, c); these small upright faces pass the
-    # grouped-slab eligibility at some group size (8/7/4 depending on
-    # scale), so a fewer-descriptor slab program runs.
-    assert any(len(k) == 7 and k[2] in (8, 7, 4) for k in win_keys)
+    # grouped-slab eligibility at some configured group size, so a
+    # fewer-descriptor slab program runs.
+    assert any(len(k) == 7 and k[2] in WARP_GROUPS for k in win_keys)
     np.testing.assert_array_equal(
         np.asarray(plan_win), np.asarray(plan_full)
     )
@@ -541,6 +541,106 @@ def test_transfer_plan_host_matches_device(tiny_pipeline_params, rng):
         assert len(pd_) == len(ph_)
         for a, b in zip(pd_, ph_):
             np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+
+
+def test_pipeline_int8_embed(tiny_pipeline_params, rng):
+    """embed_precision='int8' (the opt-in quantised ArcFace trunk) must
+    leave detection/pose untouched and produce embeddings that track
+    the native path closely enough to preserve identity ranking."""
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out = _make_pipeline(tiny_pipeline_params).process_batch(frames)
+    out8 = _make_pipeline(
+        tiny_pipeline_params, embed_precision="int8"
+    ).process_batch(frames)
+    np.testing.assert_array_equal(out["boxes"], out8["boxes"])
+    np.testing.assert_array_equal(
+        out["embeddings_mask"], out8["embeddings_mask"]
+    )
+    valid = out["embeddings_mask"]
+    if valid.any():
+        a, b = out["embeddings"][valid], out8["embeddings"][valid]
+        cos = (a * b).sum(-1)
+        assert (cos > 0.97).all(), cos
+
+    with pytest.raises(ValueError, match="embed_precision"):
+        _make_pipeline(tiny_pipeline_params, embed_precision="fp8")
+
+
+def test_pipeline_int8_pose(tiny_pipeline_params, rng):
+    """pose_precision='int8' leaves detection/embeddings untouched and
+    keeps the pose output contract (peak positions may legitimately
+    shift under quantisation; numeric closeness is pinned at the model
+    level in test_openpose_int8.py)."""
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out = _make_pipeline(tiny_pipeline_params).process_batch(frames)
+    out8 = _make_pipeline(
+        tiny_pipeline_params, pose_precision="int8"
+    ).process_batch(frames)
+    np.testing.assert_array_equal(out["boxes"], out8["boxes"])
+    np.testing.assert_array_equal(
+        out["embeddings"], out8["embeddings"]
+    )
+    assert len(out8["poses"]) == 2
+    for frame_poses in out8["poses"]:
+        for human in frame_poses:
+            assert human["keypoints"].shape == (18, 3)
+
+    with pytest.raises(ValueError, match="pose_precision"):
+        _make_pipeline(tiny_pipeline_params, pose_precision="fp8")
+
+
+def test_pipeline_int8_under_mesh(tiny_pipeline_params, rng):
+    """int8 param trees (int8 kernels + f32 scales) replicate across the
+    mesh like any other pytree; the sharded int8 run must match the
+    single-device int8 run exactly."""
+    frames = rng.integers(0, 255, (8, 96, 128, 3), dtype=np.uint8)
+    kwargs = dict(embed_precision="int8", pose_precision="int8")
+    single = _make_pipeline(
+        tiny_pipeline_params, **kwargs
+    ).process_batch(frames)
+    sharded = _make_pipeline(
+        tiny_pipeline_params, mesh=create_mesh(8), **kwargs
+    ).process_batch(frames)
+    np.testing.assert_array_equal(single["boxes"], sharded["boxes"])
+    np.testing.assert_allclose(
+        single["embeddings"], sharded["embeddings"], atol=2e-4
+    )
+    assert len(sharded["poses"]) == 8
+
+
+def test_host_resize_numpy_fallback(tiny_pipeline_params, rng,
+                                    monkeypatch):
+    """Machines whose JAX_PLATFORMS pins only the accelerator (the axon
+    relay) have no XLA CPU backend; _host_resize must fall back to the
+    numpy/BLAS twin and stay within one rounded count of the jitted
+    path (same interpolation matrices, sgemm accumulation order may
+    differ only on exact .5 ties)."""
+    from terran_tpu.ops.resize import (
+        resize_bilinear, resize_bilinear_u8_numpy,
+    )
+
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    via_jit = np.asarray(
+        jnp.round(resize_bilinear(frames, 48, 64)).astype(jnp.uint8)
+    )
+    via_np = resize_bilinear_u8_numpy(frames, 48, 64)
+    diff = np.abs(via_jit.astype(int) - via_np.astype(int))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3
+
+    pipe_h = _make_pipeline(tiny_pipeline_params, transfer_plan="host")
+    real_local_devices = jax.local_devices
+
+    def no_cpu_backend(*args, **kwargs):
+        if kwargs.get("backend") == "cpu" or "cpu" in args:
+            raise RuntimeError("Unknown backend cpu")
+        return real_local_devices(*args, **kwargs)
+
+    monkeypatch.setattr(jax, "local_devices", no_cpu_backend)
+    out = pipe_h._host_resize(frames, 48, 64)
+    assert out.dtype == np.uint8 and out.shape == (2, 48, 64, 3)
+    diff = np.abs(via_jit.astype(int) - out.astype(int))
+    assert diff.max() <= 1
 
 
 def test_transfer_plan_host_oversized_face_fallback(

@@ -30,14 +30,18 @@ COMPONENTS = [
     ("terran_tpu.models.retinaface", ["RetinaFace", "anchors_for_shape",
                                       "decode_outputs", "make_detect_fn",
                                       "unpack_detections"]),
-    ("terran_tpu.models.arcface", ["FaceResNet100", "normalize_embeddings"]),
-    ("terran_tpu.models.openpose", ["BodyPoseModel"]),
+    ("terran_tpu.models.arcface", ["FaceResNet100", "normalize_embeddings",
+                                   "apply_int8", "quantize_params"]),
+    ("terran_tpu.models.openpose", ["BodyPoseModel", "Int8BodyPoseModel",
+                                    "apply_int8", "quantize_params"]),
+    ("terran_tpu.models.quant", ["quantize_conv_kernels", "quant_conv"]),
     ("terran_tpu.ops.nms", ["nms_fixed", "iou_matrix", "make_sharded_nms"]),
     ("terran_tpu.ops.warp", ["umeyama", "umeyama_jax", "alignment_matrix",
                              "warp_affine", "warp_affine_batch",
                              "ARCFACE_TEMPLATE"]),
     ("terran_tpu.ops.upsample", ["upsample_bicubic"]),
-    ("terran_tpu.ops.resize", ["resize_bilinear", "resized_shape"]),
+    ("terran_tpu.ops.resize", ["resize_bilinear", "resize_bilinear_u8_numpy",
+                               "resized_shape"]),
     ("terran_tpu.ops.pose_decode", ["find_peaks", "limb_scores",
                                     "limb_scores_sampled",
                                     "make_pose_decode",

@@ -17,6 +17,12 @@ faithful minimal stand-in:
   this repo's ``terran_tpu.ops.warp.umeyama`` (documented equivalent of
   skimage's estimator; its warp output is separately tested against PIL in
   test_warp.py).
+- ``filterpy.kalman.KalmanFilter``: this repo's
+  ``terran_tpu.tracking.kalman.KalmanFilter`` (same attribute surface and
+  defaults for everything SORT touches: x/F/H/P/Q/R, predict, update).
+  Holding the filter common on both sides makes the tracking cross-check
+  compare exactly the SORT lifecycle logic (association, eviction,
+  confirmation, id assignment) of the reference's actual ``Sort`` code.
 """
 
 import sys
@@ -94,5 +100,12 @@ def install():
         ski.transform = tra
     if "ffmpeg" not in sys.modules:
         _module("ffmpeg")  # imported by terran.io.video, never exercised
+    if "filterpy" not in sys.modules:
+        from terran_tpu.tracking.kalman import KalmanFilter
+
+        fp = _module("filterpy")
+        kal = _module("filterpy.kalman")
+        kal.KalmanFilter = KalmanFilter
+        fp.kalman = kal
     if "/root/reference" not in sys.path:
         sys.path.append("/root/reference")

@@ -186,6 +186,75 @@ def test_arcface_crosscheck(ckpt_dir):
     assert empty_ref[0].shape == np.asarray(empty_my[0]).shape == (0, 512)
 
 
+def _tracking_scenario():
+    """Deterministic multi-object sequence exercising every SORT lifecycle
+    edge: confirmation (min_hits), a detection gap shorter than max_age
+    (re-association via KF prediction), a track death, a mid-sequence
+    birth, and per-frame jitter that makes the IoU matrix non-trivial."""
+    rng = np.random.default_rng(99)
+    frames = []
+    for t in range(60):
+        faces = []
+
+        def add(x1, y1, x2, y2):
+            j = rng.integers(-2, 3, size=4)
+            faces.append({
+                "bbox": np.array(
+                    [x1 + j[0], y1 + j[1], x2 + j[2], y2 + j[3]],
+                    dtype=np.int32,
+                ),
+                "score": float(rng.uniform(0.5, 1.0)),
+            })
+
+        add(10 + 3 * t, 10, 60 + 3 * t, 70)            # mover, all frames
+        if (5 <= t <= 40 or t >= 45):                  # gap frames 41-44
+            add(200, 50 + 2 * t, 260, 120 + 2 * t)
+        if t >= 20:                                    # late birth
+            add(400, 200, 450, 260)
+        frames.append(faces)
+    return frames
+
+
+def _run_sort(sort_cls, tracker_cls, frames):
+    tracker_cls.count = 0  # deterministic ids on both sides
+    sort = sort_cls(max_age=8, min_hits=3)
+    out = [sort.update(faces) for faces in frames]
+    tracker_cls.count = 0
+    tracked = sort_cls(max_age=8, min_hits=3, return_unmatched=True)
+    out_unmatched = [tracked.update(faces) for faces in frames]
+    return out, out_unmatched
+
+
+def test_sort_crosscheck():
+    """Drive the reference's ACTUAL Sort (tracking/face.py:269-411, with
+    filterpy shimmed to this repo's KalmanFilter so the filter numerics are
+    held common) and our Sort over an identical detection sequence; every
+    frame must produce identical (track id, bbox, score) lists, for both
+    the confirmed-only and return_unmatched contracts."""
+    import terran.tracking.face as ref_face
+    import terran_tpu.tracking.face as my_face
+
+    frames = _tracking_scenario()
+    ref_out, ref_unm = _run_sort(ref_face.Sort, ref_face.KalmanTracker,
+                                 frames)
+    my_out, my_unm = _run_sort(my_face.Sort, my_face.KalmanTracker, frames)
+
+    assert sum(len(f) for f in ref_out) > 100, "scenario vacuous"
+    assert any(
+        any(f["track"] is None for f in frame) for frame in ref_unm
+    ), "return_unmatched never surfaced an unconfirmed track; vacuous"
+
+    for label, ref_seq, my_seq in (
+        ("confirmed", ref_out, my_out), ("unmatched", ref_unm, my_unm),
+    ):
+        for t, (rf, mf) in enumerate(zip(ref_seq, my_seq)):
+            assert len(rf) == len(mf), (label, t)
+            for r, m in zip(rf, mf):
+                assert r["track"] == m["track"], (label, t, r, m)
+                assert (r["bbox"] == m["bbox"]).all(), (label, t, r, m)
+                assert r["score"] == m["score"], (label, t, r, m)
+
+
 def test_openpose_decode_crosscheck(ckpt_dir):
     """Drive the reference's ACTUAL decode loop and our jitted decode with
     identical crafted heat/PAF tensors (random conv weights never produce

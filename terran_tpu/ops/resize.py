@@ -89,6 +89,30 @@ def resize_bilinear_u8_numpy(images, out_h, out_w):
     return np.rint(x).astype(np.uint8)
 
 
+def resize_bilinear_u8_torch(images, out_h, out_w):
+    """Fast host twin of ``resize_bilinear`` + round via torch's SIMD CPU
+    bilinear (same half-pixel geometry ``src = (dst + 0.5) * scale - 0.5``
+    with edge clamp; f32 weights; torch.round is half-to-even like
+    jnp.round). torch fuses the four taps per output pixel where the
+    device program and the numpy twin apply H then W separably, so
+    outputs can differ by one uint8 count where the two f32 association
+    orders straddle an exact .5 boundary (measured 0.38% of pixels at
+    +-1 on random 1080p->416). Measured 23x faster than the numpy twin
+    on a 1-core host (190 ms vs 4.5 s per 8x1080p batch) — on such
+    machines this is the difference between the 'host' transfer plan
+    winning and losing (bench r3: the numpy resize made host-plan sweeps
+    SLOWER than full-frame uploads)."""
+    import torch
+
+    t = torch.from_numpy(np.ascontiguousarray(images))
+    t = t.permute(0, 3, 1, 2).to(torch.float32)
+    out = torch.nn.functional.interpolate(
+        t, size=(out_h, out_w), mode="bilinear", align_corners=False
+    )
+    out = torch.round(out).clamp_(0, 255).to(torch.uint8)
+    return out.permute(0, 2, 3, 1).contiguous().numpy()
+
+
 def resized_shape(h, w, short_side):
     """The (out_h, out_w, scale) the task APIs' resize produces
     (utils/batching.py resize_factory)."""

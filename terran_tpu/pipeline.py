@@ -50,7 +50,8 @@ from terran_tpu.models.retinaface import (
 )
 from terran_tpu.ops.nms import nms_fixed
 from terran_tpu.ops.resize import (
-    resize_bilinear, resize_bilinear_u8_numpy, resized_shape,
+    resize_bilinear, resize_bilinear_u8_numpy, resize_bilinear_u8_torch,
+    resized_shape,
 )
 from terran_tpu.ops.fused_peaks import fused_peaks_enabled
 from terran_tpu.ops.pose_decode import (
@@ -887,6 +888,11 @@ class PerceptionPipeline:
         to the device path than cv2's 2^-11 fixed point (which the
         reference uses host-side and the device resize matches to +-1
         count); on CPU test backends the two plans are bit-identical.
+        Without a CPU backend (accelerator-pinned JAX_PLATFORMS) the
+        torch twin runs instead — same geometry and f32 weights, +-1
+        count on ~0.4% of pixels from its fused-tap association order
+        (ops/resize.py) — falling back to the slow exact numpy twin
+        only when torch is absent.
         """
         key = (out_h, out_w)
         fn = self._host_resize_fns.get(key)
@@ -900,9 +906,19 @@ class PerceptionPipeline:
                 # (np.rint and jnp.round are both half-to-even).
                 cpu = None
             if cpu is None:
-                fn = functools.partial(
-                    resize_bilinear_u8_numpy, out_h=out_h, out_w=out_w
-                )
+                # torch's SIMD bilinear is ~23x the numpy twin on 1-core
+                # hosts (ops/resize.py) — without it the host plan's
+                # resize outweighs the link bytes it saves.
+                try:
+                    import torch  # noqa: F401
+
+                    fn = functools.partial(
+                        resize_bilinear_u8_torch, out_h=out_h, out_w=out_w
+                    )
+                except ImportError:
+                    fn = functools.partial(
+                        resize_bilinear_u8_numpy, out_h=out_h, out_w=out_w
+                    )
             else:
                 def resize_cpu(x):
                     return jnp.round(

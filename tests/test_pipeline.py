@@ -612,21 +612,28 @@ def test_host_resize_numpy_fallback(tiny_pipeline_params, rng,
                                     monkeypatch):
     """Machines whose JAX_PLATFORMS pins only the accelerator (the axon
     relay) have no XLA CPU backend; _host_resize must fall back to the
-    numpy/BLAS twin and stay within one rounded count of the jitted
-    path (same interpolation matrices, sgemm accumulation order may
-    differ only on exact .5 ties)."""
+    torch twin (SIMD, ~23x the numpy twin on 1-core hosts) and then the
+    numpy/BLAS twin, each within one rounded count of the jitted path
+    (same geometry and f32 weights; only the tap association order can
+    differ, landing on exact .5 ties)."""
     from terran_tpu.ops.resize import (
-        resize_bilinear, resize_bilinear_u8_numpy,
+        resize_bilinear, resize_bilinear_u8_numpy, resize_bilinear_u8_torch,
     )
 
     frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    # Non-integer ratio: every tap pair has irrational-ish f32 weights,
+    # the harshest case for cross-twin rounding agreement.
     via_jit = np.asarray(
-        jnp.round(resize_bilinear(frames, 48, 64)).astype(jnp.uint8)
+        jnp.round(resize_bilinear(frames, 37, 53)).astype(jnp.uint8)
     )
-    via_np = resize_bilinear_u8_numpy(frames, 48, 64)
+    via_np = resize_bilinear_u8_numpy(frames, 37, 53)
     diff = np.abs(via_jit.astype(int) - via_np.astype(int))
     assert diff.max() <= 1
     assert (diff != 0).mean() < 1e-3
+    via_torch = resize_bilinear_u8_torch(frames, 37, 53)
+    diff = np.abs(via_jit.astype(int) - via_torch.astype(int))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 2e-2  # fused-tap .5 ties (~0.4% @1080p)
 
     pipe_h = _make_pipeline(tiny_pipeline_params, transfer_plan="host")
     real_local_devices = jax.local_devices
@@ -637,10 +644,26 @@ def test_host_resize_numpy_fallback(tiny_pipeline_params, rng,
         return real_local_devices(*args, **kwargs)
 
     monkeypatch.setattr(jax, "local_devices", no_cpu_backend)
-    out = pipe_h._host_resize(frames, 48, 64)
-    assert out.dtype == np.uint8 and out.shape == (2, 48, 64, 3)
+    out = pipe_h._host_resize(frames, 37, 53)
+    assert out.dtype == np.uint8 and out.shape == (2, 37, 53, 3)
     diff = np.abs(via_jit.astype(int) - out.astype(int))
     assert diff.max() <= 1
+
+    # With torch unimportable the numpy twin is the last tier.
+    pipe_h2 = _make_pipeline(tiny_pipeline_params, transfer_plan="host")
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *args, **kwargs):
+        if name == "torch":
+            raise ImportError("blocked")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    out2 = pipe_h2._host_resize(frames, 37, 53)
+    monkeypatch.setattr(builtins, "__import__", real_import)
+    np.testing.assert_array_equal(out2, via_np)
 
 
 def test_transfer_plan_host_oversized_face_fallback(

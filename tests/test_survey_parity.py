@@ -41,7 +41,7 @@ COMPONENTS = [
                              "ARCFACE_TEMPLATE"]),
     ("terran_tpu.ops.upsample", ["upsample_bicubic"]),
     ("terran_tpu.ops.resize", ["resize_bilinear", "resize_bilinear_u8_numpy",
-                               "resized_shape"]),
+                               "resize_bilinear_u8_torch", "resized_shape"]),
     ("terran_tpu.ops.pose_decode", ["find_peaks", "limb_scores",
                                     "limb_scores_sampled",
                                     "make_pose_decode",

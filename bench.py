@@ -413,8 +413,10 @@ def main():
     # always reports how often it fired.
     max_escalations = int(os.environ.get("BENCH_ESCALATIONS", 0))
     # BENCH_EMBED_PRECISION=int8 measures the opt-in quantised ArcFace
-    # trunk (models/arcface.py apply_int8); default follows config.
+    # trunk (models/arcface.py apply_int8); BENCH_POSE_PRECISION=int8
+    # likewise for the OpenPose CPM trunk; defaults follow config.
     embed_precision = os.environ.get("BENCH_EMBED_PRECISION")
+    pose_precision = os.environ.get("BENCH_POSE_PRECISION")
     pipeline = PerceptionPipeline(
         det_params=params["retinaface"],
         rec_params=params["arcface"],
@@ -426,6 +428,7 @@ def main():
         timer=timer,
         max_escalations=max_escalations,
         embed_precision=embed_precision,
+        pose_precision=pose_precision,
     )
 
     rng = np.random.default_rng(0)
@@ -481,6 +484,7 @@ def main():
                 max_escalations=max_escalations,
                 transfer_plan="host",
                 embed_precision=embed_precision,
+                pose_precision=pose_precision,
             )
             pipeline_host.process_batch(batches[0])
             for _ in pipeline_host.process_stream(batches[:2], depth=depth):
@@ -529,6 +533,7 @@ def main():
         "host_plan_error": host_plan_error,
         "transfer_plan_used": plan_used,
         "embed_precision": embed_precision or "native",
+        "pose_precision": pose_precision or "native",
         "device_only_fps": round(device_only_fps, 2),
         "device_only_fps_typical": (
             round(device_typical_fps, 2) if device_typical_fps else None

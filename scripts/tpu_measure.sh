@@ -43,12 +43,16 @@ all)
     step device_time 2400 python benchmarks/device_time.py
     step device_time_int8 2400 env TERRAN_TPU_EMBED_PRECISION=int8 \
         python benchmarks/device_time.py
+    step pose_int8 2400 env TERRAN_TPU_POSE_PRECISION=int8 \
+        python benchmarks/pose_int8_time.py
     step bench 3600 python bench.py
     step peak 1200 python benchmarks/peak.py
     ;;
 int8)
     step device_time_int8 2400 env TERRAN_TPU_EMBED_PRECISION=int8 \
         python benchmarks/device_time.py
+    step pose_int8 2400 env TERRAN_TPU_POSE_PRECISION=int8 \
+        python benchmarks/pose_int8_time.py
     ;;
 *)
     echo "unknown step: $1" >&2; exit 2

@@ -88,6 +88,12 @@ class Config:
     # I/O buffering.
     reader_buffer_batches: int = 1
     writer_buffer_frames: int = 64
+    # How long close() lets the encoder drain its stdin and finalise the
+    # container before escalating to terminate (which truncates the
+    # file; a warning is logged). 10 s covered every observed ffmpeg
+    # finalise; raise it for slow disks / 4K encodes — a loaded machine
+    # once took >10 s just to *start* the encoder (writer.py).
+    writer_drain_timeout_s: float = 30.0
     device_prefetch_depth: int = 2
 
     # Numerics.

@@ -14,7 +14,7 @@ from threading import Thread
 from terran_tpu.io.video import VideoClosed
 
 
-def _frame_writer(queue, cmd, error_sink):
+def _frame_writer(queue, cmd, error_sink, drain_timeout):
     try:
         proc = subprocess.Popen(
             cmd,
@@ -36,12 +36,23 @@ def _frame_writer(queue, cmd, error_sink):
         proc.stdin.close()
         # Let the encoder drain stdin and finalise the container before
         # escalating (the reference terminates immediately, writer.py:36-40,
-        # which can truncate the tail of the file).
+        # which can truncate the tail of the file). Escalation truncates
+        # too, so it must never be silent: a loaded machine was once
+        # observed taking >10 s just to START the encoder process, which
+        # a fixed quiet timeout turned into a zero-byte output.
         try:
-            proc.wait(timeout=10.0)
+            proc.wait(timeout=drain_timeout)
         except subprocess.TimeoutExpired:
+            from terran_tpu.utils.profiling import get_logger
+
+            get_logger().warning(
+                "encoder still running %.0f s after final frame; "
+                "terminating — output may be truncated (raise "
+                "TERRAN_TPU_WRITER_DRAIN_TIMEOUT_S for slow encodes)",
+                drain_timeout,
+            )
             proc.terminate()
-            proc.wait(timeout=10.0)
+            proc.wait(timeout=drain_timeout)
     except Exception as exc:  # surfaced on close()
         error_sink.append(exc)
 
@@ -114,9 +125,12 @@ class VideoWriter:
             cmd = self._prepare_ffmpeg_cmd()
             from terran_tpu.config import get_config
 
-            self._queue = Queue(get_config().writer_buffer_frames)
+            cfg = get_config()
+            self._queue = Queue(cfg.writer_buffer_frames)
             self._thread = Thread(
-                target=_frame_writer, args=(self._queue, cmd, self._errors)
+                target=_frame_writer,
+                args=(self._queue, cmd, self._errors,
+                      cfg.writer_drain_timeout_s),
             )
             self._thread.start()
 

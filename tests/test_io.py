@@ -373,6 +373,39 @@ def test_writer_slow_encoder_keeps_tail_frames(tmp_path, monkeypatch):
         set_config(old)
 
 
+def test_writer_drain_timeout_warns_then_terminates(tmp_path, monkeypatch,
+                                                    caplog):
+    """An encoder still running ``writer_drain_timeout_s`` after its stdin
+    closes is terminated WITH a truncation warning — never silently (a
+    loaded machine once took >10 s just to start the encoder, and the old
+    fixed quiet timeout turned that into a zero-byte file)."""
+    import dataclasses
+    import logging
+
+    from terran_tpu.config import get_config, set_config
+
+    old = get_config()
+    set_config(dataclasses.replace(old, writer_drain_timeout_s=0.3))
+    try:
+        writer = VideoWriter(tmp_path / "out.mp4", framerate=10)
+        # Consumes stdin fully, then refuses to exit (a hung finalise).
+        hang = (
+            "import sys, time\n"
+            "sys.stdin.buffer.read()\n"
+            "time.sleep(60)\n"
+        )
+        monkeypatch.setattr(
+            writer, "_prepare_ffmpeg_cmd",
+            lambda: [sys.executable, "-c", hang],
+        )
+        writer.write_frame(np.zeros((4, 4, 3), np.uint8))
+        with caplog.at_level(logging.WARNING, logger="terran_tpu"):
+            writer.close()  # returns promptly; no 60 s hang, no exception
+        assert any("terminating" in r.message for r in caplog.records)
+    finally:
+        set_config(old)
+
+
 def test_writer_dead_thread_does_not_deadlock(tmp_path, monkeypatch):
     """A failed encoder must surface as an error, not a blocked producer."""
     writer = VideoWriter(tmp_path / "out.mp4", framerate=10)

@@ -489,3 +489,44 @@ def test_youtube_dl_stream_resolution(monkeypatch):
     video3 = Video("https://youtube.com/watch?v=zzz", batch_size=2)
     assert video3.stream_path == "https://youtube.com/watch?v=zzz"
     video3.close()
+
+
+def test_webcam_device_path_is_stream(monkeypatch):
+    """A ``/dev/video*`` capture device (reference reader.py:516-530 via
+    open_video) takes the stream branch: no youtube-dl resolution, the
+    probe runs with the stream probesize/analyzeduration knobs, and the
+    decode command carries the stream flags plus the reference's default
+    5-second stream seek. Closes the last zero-unit-test stream path
+    (round-2 review Missing #3); real capture is exercised by
+    scripts/validate_media.py on hardware that has one."""
+    from terran_tpu.io.video import reader as reader_mod
+
+    probed = {}
+
+    def fake_probe(path, **kwargs):
+        probed["path"] = path
+        probed["kwargs"] = kwargs
+        return {
+            "streams": [{"codec_type": "video", "width": 64, "height": 48,
+                         "avg_frame_rate": "30/1"}],
+            "format": {},
+        }
+
+    monkeypatch.setattr(reader_mod, "ffmpeg_probe", fake_probe)
+
+    video = reader_mod.open_video("/dev/video0", batch_size=2)
+    assert video.is_stream
+    # No URL extractor matches a device node: the raw path is probed.
+    assert video.stream_path == "/dev/video0"
+    assert probed["path"] == "/dev/video0"
+    assert probed["kwargs"]["probesize"] == 20 * 1024 * 1024
+    assert probed["kwargs"]["analyzeduration"] == 10 * 1000 * 1000
+    assert video.framerate == 30
+
+    cmd = video._prepare_ffmpeg_cmd()
+    assert "-probesize" in cmd and "-analyzeduration" in cmd
+    assert cmd[cmd.index("-i") + 1] == "/dev/video0"
+    # Streams have no seekable start: the reference skips the first 5 s
+    # of startup garbage (reader.py:434-439).
+    assert cmd[cmd.index("-ss") + 1] == "00:00:05"
+    video.close()

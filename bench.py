@@ -532,8 +532,12 @@ def main():
         "host_plan_sweeps": host_sweeps or None,
         "host_plan_error": host_plan_error,
         "transfer_plan_used": plan_used,
-        "embed_precision": embed_precision or "native",
-        "pose_precision": pose_precision or "native",
+        # The precisions the pipeline actually RESOLVED (BENCH_* env,
+        # else config's TERRAN_TPU_* env, else 'native') — reporting the
+        # raw BENCH_* vars mislabelled runs configured via the
+        # TERRAN_TPU_* knobs (r3 advisor item).
+        "embed_precision": pipeline.embed_precision,
+        "pose_precision": pipeline.pose_precision,
         "device_only_fps": round(device_only_fps, 2),
         "device_only_fps_typical": (
             round(device_typical_fps, 2) if device_typical_fps else None

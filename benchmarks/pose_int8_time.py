@@ -11,7 +11,6 @@ Prints one JSON line with the pose forward ms/batch at batch 8 @1080p.
 """
 
 import json
-import os
 import sys
 from pathlib import Path
 
@@ -41,6 +40,13 @@ def main():
     frames = np.random.default_rng(0).integers(
         0, 255, (batch, height, width, 3), dtype=np.uint8
     )
+    # _pose_detect_fn is the production pose program only under adaptive
+    # limb dispatch (the fused path runs _pose_fn instead); a non-default
+    # dispatch must not silently mislabel the measurement (r3 advisor).
+    assert pipeline.limb_dispatch == "adaptive", (
+        f"limb_dispatch={pipeline.limb_dispatch!r}: this script measures "
+        "the adaptive forward+peaks program"
+    )
     fd = jax.block_until_ready(pipeline.put_frames(frames))
     pd = pipeline._pose_detect_fn(height, width)
     fwd_ms, _ = scan_time(
@@ -49,8 +55,8 @@ def main():
     )
     print(json.dumps({
         "metric": "pose forward+peaks ms/batch (scan-timed, batch 8 @1080p)",
-        "pose_precision": os.environ.get(
-            "TERRAN_TPU_POSE_PRECISION", "native"),
+        "pose_precision": pipeline.pose_precision,
+        "limb_dispatch": pipeline.limb_dispatch,
         "pose_fwd_ms": round(fwd_ms, 2),
         "iters": iters,
     }))

@@ -45,6 +45,11 @@ all)
         python benchmarks/device_time.py
     step pose_int8 2400 env TERRAN_TPU_POSE_PRECISION=int8 \
         python benchmarks/pose_int8_time.py
+    # Both trunks int8 in ONE session — the headline combined number
+    # (BASELINE.md "39.5 ms -> ~202 fps") must be requeueable from here.
+    step device_time_int8_both 2400 env \
+        TERRAN_TPU_EMBED_PRECISION=int8 TERRAN_TPU_POSE_PRECISION=int8 \
+        python benchmarks/device_time.py
     step bench 3600 python bench.py
     step peak 1200 python benchmarks/peak.py
     ;;
@@ -53,6 +58,9 @@ int8)
         python benchmarks/device_time.py
     step pose_int8 2400 env TERRAN_TPU_POSE_PRECISION=int8 \
         python benchmarks/pose_int8_time.py
+    step device_time_int8_both 2400 env \
+        TERRAN_TPU_EMBED_PRECISION=int8 TERRAN_TPU_POSE_PRECISION=int8 \
+        python benchmarks/device_time.py
     ;;
 *)
     echo "unknown step: $1" >&2; exit 2

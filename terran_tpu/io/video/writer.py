@@ -52,7 +52,19 @@ def _frame_writer(queue, cmd, error_sink, drain_timeout):
                 drain_timeout,
             )
             proc.terminate()
-            proc.wait(timeout=drain_timeout)
+            try:
+                proc.wait(timeout=drain_timeout)
+            except subprocess.TimeoutExpired:
+                # An encoder that ignores SIGTERM must not survive
+                # close() as an orphan (nor turn the timeout into an
+                # error that buries the truncation warning): force-kill
+                # and reap it.
+                get_logger().warning(
+                    "encoder ignored SIGTERM %.0f s after terminate; "
+                    "killing", drain_timeout,
+                )
+                proc.kill()
+                proc.wait()
     except Exception as exc:  # surfaced on close()
         error_sink.append(exc)
 

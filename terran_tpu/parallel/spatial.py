@@ -259,7 +259,7 @@ class SpatialShardedDetector:
 
     def __init__(self, detector=None, *, mesh=None, halo=256, top_k=256,
                  local_top_k=None, nms_threshold=None, params=None,
-                 model=None):
+                 model=None, max_escalations=None):
         if detector is not None:
             params = detector.params if params is None else params
             model = detector.model if model is None else model
@@ -267,10 +267,21 @@ class SpatialShardedDetector:
                 nms_threshold = detector.nms_threshold
         if params is None or model is None:
             raise ValueError("pass a detector, or params and model")
-        if nms_threshold is None:
-            from terran_tpu.config import get_config
+        from terran_tpu.config import get_config
 
+        if nms_threshold is None:
             nms_threshold = get_config().nms_iou_threshold
+        # Overflow escalation, like every other fixed-capacity path
+        # (pipeline detect/pose/embed): a saturated per-device
+        # pre-selection or merged NMS re-dispatches the frame at doubled
+        # local_top_k/top_k instead of warning-and-dropping — this path's
+        # whole point is huge crowded frames, and the reference's dynamic
+        # shapes cannot drop detections (retinaface/wrapper.py:207-236).
+        self.max_escalations = (
+            get_config().max_escalations if max_escalations is None
+            else max_escalations
+        )
+        self.escalations = 0
         self.mesh = mesh if mesh is not None else create_mesh()
         self.n_devices = self.mesh.devices.size
         self.halo = -(-halo // GRID) * GRID
@@ -281,8 +292,11 @@ class SpatialShardedDetector:
         self.model = model
         self._fns = {}
 
-    def _fn(self, slab_h, width):
-        key = (slab_h, width)
+    def _fn(self, slab_h, width, top_k=None, local_top_k=None):
+        top_k = self.top_k if top_k is None else top_k
+        if local_top_k is None:
+            local_top_k = self.local_top_k
+        key = (slab_h, width, top_k, local_top_k)
         if key not in self._fns:
             # A short frame can make slab_h < the configured halo; the
             # exchange only reaches immediate neighbours, so clamp (the
@@ -291,8 +305,8 @@ class SpatialShardedDetector:
             self._fns[key] = make_spatial_detect_fn(
                 self.model, self.mesh, slab_h, width,
                 min(self.halo, slab_h),
-                nms_threshold=self.nms_threshold, top_k=self.top_k,
-                local_top_k=self.local_top_k,
+                nms_threshold=self.nms_threshold, top_k=top_k,
+                local_top_k=local_top_k,
             )
         return self._fns[key]
 
@@ -307,19 +321,54 @@ class SpatialShardedDetector:
         else:
             frame = image
 
+        # Capacity ceilings: the per-device pre-selection cannot exceed the
+        # extended slab's anchor count, and the merged NMS cannot keep more
+        # than the all-gather delivers. At the full clamp no overflow is
+        # possible (above.sum() <= A and kept <= n * local_top_k), so a
+        # clamped escalation is guaranteed to terminate unsaturated.
+        n_anchors = len(
+            ext_anchor_meta(slab_h, padded_w, min(self.halo, slab_h))[0]
+        )
+
+        def _clamp(t, l):
+            l = min(l, n_anchors)
+            return min(t, self.n_devices * l), l
+
+        top_k, local_top_k = _clamp(
+            self.top_k, self.local_top_k or self.top_k
+        )
         packed = np.asarray(
-            self._fn(slab_h, padded_w)(self.params, frame, threshold, w, h)
+            self._fn(slab_h, padded_w, top_k, local_top_k)(
+                self.params, frame, threshold, w, h
+            )
         )
         boxes, landmarks, scores, mask, overflow = unpack_detections(
             packed[None]
         )
+        attempts = 0
+        while bool(overflow[0]) and attempts < self.max_escalations:
+            new_top_k, new_local = _clamp(top_k * 2, local_top_k * 2)
+            if (new_top_k, new_local) == (top_k, local_top_k):
+                break  # already at the ceiling; re-dispatch cannot help
+            attempts += 1
+            self.escalations += 1
+            top_k, local_top_k = new_top_k, new_local
+            packed = np.asarray(
+                self._fn(slab_h, padded_w, top_k, local_top_k)(
+                    self.params, frame, threshold, w, h
+                )
+            )
+            boxes, landmarks, scores, mask, overflow = unpack_detections(
+                packed[None]
+            )
         if bool(overflow[0]):
             from terran_tpu.utils.profiling import get_logger
 
             get_logger().warning(
-                "spatial detection saturated (top_k=%s local_top_k=%s); "
-                "low-scoring faces may be dropped",
-                self.top_k, self.local_top_k or self.top_k,
+                "spatial detection still saturated after %d escalations "
+                "(top_k=%s local_top_k=%s); low-scoring faces may be "
+                "dropped — raise max_escalations or top_k",
+                attempts, top_k, local_top_k,
             )
         keep = mask[0]
         return [

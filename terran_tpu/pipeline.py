@@ -9,15 +9,16 @@ intermediate host round trips:
 
 1. ``perception_step``: on-device resize, RetinaFace forward + anchor
    decode + masked NMS, landmark rescale + rounding.
-2. ``warp_embed`` (default, ``embed_dispatch='adaptive'``): once the
-   detection results reach the host, a warp+embed program sized to the
-   number of faces actually found (bucketed static shapes) aligns and
-   embeds them straight from the resident frames — warp-gather and
-   ArcFace cost scale with real occupancy, not the (batch, max_faces)
-   capacity. With ``embed_dispatch='fused'`` (always under a mesh) the
-   on-device Umeyama alignment + warps stay inside program 1 at full
-   capacity and a fixed-shape ``embed`` program consumes the crops with
-   no host round trip in between.
+2. ``warp_embed`` (default, ``embed_dispatch='adaptive'``; works both
+   single-device and under a mesh — the bucket is chosen once per global
+   batch so every shard runs the same program): once the detection
+   results reach the host, a warp+embed program sized to the number of
+   faces actually found (bucketed static shapes) aligns and embeds them
+   straight from the resident frames — warp-gather and ArcFace cost
+   scale with real occupancy, not the (batch, max_faces) capacity. With
+   ``embed_dispatch='fused'`` the on-device Umeyama alignment + warps
+   stay inside program 1 at full capacity and a fixed-shape ``embed``
+   program consumes the crops with no host round trip in between.
 3. ``pose decode`` (``terran_tpu.ops.pose_decode``): CPM forward + bicubic
    upsample + peak finding + PAF integrals.
 

@@ -450,13 +450,29 @@ def main():
     # three (sweeps are reported individually either way).
     timer.reset()
     sweeps = []
-    for _ in range(5):
+    timeline_rows = timeline_gaps = None
+    for s in range(5):
+        if s == 4 and os.environ.get("BENCH_TIMELINE", "1") != "0":
+            # Instrument the last sweep with the per-batch timeline:
+            # every upload/dispatch/fetch span with its batch id, start,
+            # duration, and bytes — the record of where the wall time
+            # actually went (r3: ~1.7 s/batch was unaccounted; the
+            # timeline is the accounting).
+            from terran_tpu.utils.profiling import Timeline
+
+            pipeline.timeline = Timeline()
         t0 = time.time()
         for _out in pipeline.process_stream(batches, depth=depth):
             pass
         sweeps.append(
             round(batch_size * num_batches / (time.time() - t0), 2)
         )
+        if pipeline.timeline is not None:
+            timeline_rows = pipeline.timeline.rows()
+            timeline_gaps = sorted(
+                pipeline.timeline.gaps(), key=lambda r: -r[3]
+            )[:12]
+            pipeline.timeline = None
     fps = statistics.median(sweeps)
 
     # The 'host' transfer plan uploads the detect/pose resizes and the
@@ -468,6 +484,7 @@ def main():
     # headline is the better plan, named in the JSON.
     host_sweeps = []
     host_plan_error = None
+    host_timeline_rows = None
     if os.environ.get("BENCH_HOST_PLAN", "1") != "0":
         # Guarded: a host-plan failure must not abort the benchmark
         # after the device-plan sweeps already spent their relay time —
@@ -489,7 +506,11 @@ def main():
             pipeline_host.process_batch(batches[0])
             for _ in pipeline_host.process_stream(batches[:2], depth=depth):
                 pass
-            for _ in range(5):
+            for s in range(5):
+                if s == 4 and os.environ.get("BENCH_TIMELINE", "1") != "0":
+                    from terran_tpu.utils.profiling import Timeline
+
+                    pipeline_host.timeline = Timeline()
                 t0 = time.time()
                 for _out in pipeline_host.process_stream(
                     batches, depth=depth
@@ -498,6 +519,9 @@ def main():
                 host_sweeps.append(
                     round(batch_size * num_batches / (time.time() - t0), 2)
                 )
+                if pipeline_host.timeline is not None:
+                    host_timeline_rows = pipeline_host.timeline.rows()
+                    pipeline_host.timeline = None
         except Exception as exc:  # noqa: BLE001
             host_sweeps = []
             host_plan_error = f"{type(exc).__name__}: {exc}"
@@ -567,6 +591,14 @@ def main():
             name: info["mean_ms"]
             for name, info in timer.summary().items()
         },
+        # Per-batch event timeline of the final sweep: [batch, event,
+        # start_ms, dur_ms, bytes]. 'h2d_thread' spans live on the
+        # uploader thread; everything else is the main loop. 'gaps' are
+        # the largest main-thread idle windows between a batch's
+        # consecutive stages (time spent on OTHER batches or truly idle).
+        "timeline": timeline_rows,
+        "timeline_gaps": timeline_gaps,
+        "timeline_host_plan": host_timeline_rows,
         # The wall-clock stage table measures where the HOST waited, not
         # where the device worked: dispatch stages return immediately
         # (async), and the whole batch's device time + relay latency

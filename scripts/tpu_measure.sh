@@ -41,6 +41,7 @@ all)
     # with bench warmup), headline bench last so earlier failures still
     # leave the per-program numbers on disk.
     step device_time 2400 python benchmarks/device_time.py
+    step limb_backend 2400 python benchmarks/limb_backend_time.py
     step device_time_int8 2400 env TERRAN_TPU_EMBED_PRECISION=int8 \
         python benchmarks/device_time.py
     step pose_int8 2400 env TERRAN_TPU_POSE_PRECISION=int8 \

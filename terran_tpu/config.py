@@ -61,6 +61,15 @@ class Config:
     # Comma-separated per-part peak-slot sizes for the adaptive limb
     # program; max_peaks_per_part is always the fallback bucket.
     pose_peak_buckets: str = "4,8"
+    # Limb PAF sampler: 'gather' issues one 2-element gather descriptor
+    # per segment sample; 'matmul' samples via one-hot MXU contractions
+    # (ops/pose_decode.py::limb_scores_matmul) — measured 2.2x faster at
+    # kb=16 on v5e (3.91 vs 8.71 ms/batch, benchmarks/
+    # limb_backend_time.py) where gathers are descriptor-bound. 'auto':
+    # matmul on TPU, gather elsewhere. Values agree bitwise on CPU; on
+    # TPU within 1 f32 ulp (XLA reassociates the 10-sample mean
+    # differently between the two programs), accept flags identical.
+    limb_backend: str = "auto"
     # Comma-separated window sides for the adaptive warp's per-face source
     # windows (the patch gather pays an operand-proportional cost, so
     # gathering from face-sized windows beats the full frame). The batch's
@@ -74,6 +83,16 @@ class Config:
     # per 1080p frame for link-bound hosts (PCIe-starved or
     # network-attached accelerators). Requires adaptive dispatches.
     transfer_plan: str = "device"
+    # Host-resize backend for the 'host' transfer plan. 'auto': cv2's
+    # SIMD fixed-point bilinear when importable (~55x the torch twin on
+    # a 1-core host, and EXACTLY the reference's own host-side resize
+    # arithmetic — face/detection/__init__.py:203), else the exact
+    # chain. 'exact': this repo's own bilinear (jitted CPU backend ->
+    # torch twin -> numpy twin), bit-identical to the device plan's
+    # on-device resize. 'cv2': require cv2. The device resize matches
+    # cv2 within +-1 count, so 'auto' changes at most the same +-1 the
+    # torch twin already documents.
+    host_resize: str = "auto"
 
     # Overflow escalation: when a fixed capacity saturates (detection
     # top_k, pose max_peaks, embed face slots), re-dispatch that batch at

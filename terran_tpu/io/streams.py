@@ -99,7 +99,13 @@ class MultiStreamPerception:
         next batch's device work is dispatched before this batch's host
         stages (pose assembly, tracking) run.
         """
+        # Two-phase finalization like process_stream: batch i's adaptive
+        # dispatches (advance) run right after batch i+1's forward is
+        # enqueued, and its heavy fetches (collect, inside _results) wait
+        # one further slot — the limb/embed programs compute while the
+        # next batch crosses the link.
         pending = None
+        advanced = None
         for frames, meta in self.mux:
             # Pad trailing partial batches to the fixed batch size so they
             # reuse the compiled program instead of triggering a fresh
@@ -111,13 +117,21 @@ class MultiStreamPerception:
                 )
             dispatched = self.pipeline.dispatch_batch(frames)
             if pending is not None:
-                yield self._results(*pending)
+                adv = (self.pipeline.advance_batch(*pending[0]), pending[1])
+                if advanced is not None:
+                    yield self._results(*advanced)
+                advanced = adv
             pending = (dispatched, meta)
         if pending is not None:
-            yield self._results(*pending)
+            adv = (self.pipeline.advance_batch(*pending[0]), pending[1])
+            if advanced is not None:
+                yield self._results(*advanced)
+            advanced = adv
+        if advanced is not None:
+            yield self._results(*advanced)
 
-    def _results(self, dispatched, meta):
-        out = self.pipeline.finalize_batch(*dispatched)
+    def _results(self, state, meta):
+        out = self.pipeline.collect_batch(state)
         faces_per_frame = self.pipeline.faces_from(out)
         results = []
         for slot, (stream_idx, frame_idx) in enumerate(meta):

@@ -265,6 +265,91 @@ def limb_scores(pafs, coords, valid, thresh_midpoint):
     )
 
 
+def limb_scores_matmul(pafs, coords, valid, thresh_midpoint):
+    """Limb scoring with one-hot MATMUL sampling instead of gathers.
+
+    Same contract and bit-identical outputs to :func:`limb_scores` (same
+    segment geometry, same f32 values into :func:`_score_pairs`), but the
+    per-sample PAF reads run on the MXU: for each limb, a (S, W) 0/1
+    column-indicator matrix contracts against the (H, W, 2) channel-pair
+    planes (one batched matmul), then a (S, H) row indicator reduces the
+    result on the VPU. One-hot rows make the matmul EXACT: the single
+    nonzero product is 1.0 * value (exact in every precision mode whose
+    operand decomposition sums to the f32 value — bf16x3/HIGHEST on TPU),
+    and all other terms are exact zeros.
+
+    Why: TPU gathers cost ~25-33 ns per descriptor, and at K=16 the
+    gather form issues L*K*K*(M-2) + 2*L*K ~= 39 K descriptors per image
+    — 8.76 ms/batch, the largest single decode cost after r3. The
+    one-hot contraction replaces descriptors with ~47 GFLOP + ~2 GB of
+    HBM traffic per batch 8 — a different (and on v5e cheaper) currency.
+    The same reformulation measured 50.5 ms for the WARP and was
+    rejected (docs/architecture.md: 1080p operands, (12544, 256, 3)
+    intermediates); the pose field is ~60x smaller, which flips the
+    economics. Endpoint dedup mirrors :func:`limb_scores`: the first and
+    last midpoints land exactly on the (clipped) src/dst peak pixels, so
+    they are sampled once per (limb, peak) and broadcast across pairs.
+
+    Reference behaviour being reproduced: openpose/wrapper.py:304-323.
+    """
+    h, w, c = pafs.shape
+    k = coords.shape[1]
+    seg_y, seg_x, dirs, norms, safe_norms, pair_valid = _limb_geometry(
+        coords, valid, h, w
+    )
+
+    # Per-limb channel-pair planes (L, H, W, 2); MAP_IDX covers all 38
+    # channels exactly once, so this is one reshuffle of the field.
+    planes = pafs[:, :, jnp.asarray(MAP_IDX)]          # (H, W, L, 2)
+    planes = jnp.transpose(planes, (2, 0, 1, 3))       # (L, H, W, 2)
+
+    # Sample list per limb: interior midpoints + src/dst endpoints once
+    # per peak (positions clipped like the gather path).
+    src_parts = LIMBSEQ[:, 0]
+    dst_parts = LIMBSEQ[:, 1]
+    n_int = k * k * (NUM_MIDPOINTS - 2)
+    sy = jnp.concatenate([
+        seg_y[..., 1:-1].reshape(NUM_LIMBS, n_int),
+        jnp.clip(coords[src_parts, :, 0], 0, h - 1),
+        jnp.clip(coords[dst_parts, :, 0], 0, h - 1),
+    ], axis=1)                                         # (L, S)
+    sx = jnp.concatenate([
+        seg_x[..., 1:-1].reshape(NUM_LIMBS, n_int),
+        jnp.clip(coords[src_parts, :, 1], 0, w - 1),
+        jnp.clip(coords[dst_parts, :, 1], 0, w - 1),
+    ], axis=1)
+
+    ex = jax.nn.one_hot(sx, w, dtype=pafs.dtype)       # (L, S, W)
+    ey = jax.nn.one_hot(sy, h, dtype=pafs.dtype)       # (L, S, H)
+    # Column select on the MXU (exact: see docstring), row select as a
+    # VPU masked reduce — a take_along_axis here would reissue one
+    # descriptor per sample and forfeit the whole point.
+    rows = jnp.einsum(
+        "lsx,lhxc->lshc", ex, planes,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                  # (L, S, H, 2)
+    vals = (rows * ey[..., None]).sum(axis=2)          # (L, S, 2)
+
+    int_x = vals[:, :n_int, 0].reshape(NUM_LIMBS, k, k, NUM_MIDPOINTS - 2)
+    int_y = vals[:, :n_int, 1].reshape(NUM_LIMBS, k, k, NUM_MIDPOINTS - 2)
+    sx_v = vals[:, n_int:n_int + k]                    # (L, K, 2) src
+    dx_v = vals[:, n_int + k:]                         # (L, K, 2) dst
+    px = jnp.concatenate([
+        jnp.broadcast_to(sx_v[:, :, None, None, 0], (NUM_LIMBS, k, k, 1)),
+        int_x,
+        jnp.broadcast_to(dx_v[:, None, :, None, 0], (NUM_LIMBS, k, k, 1)),
+    ], axis=-1)
+    py = jnp.concatenate([
+        jnp.broadcast_to(sx_v[:, :, None, None, 1], (NUM_LIMBS, k, k, 1)),
+        int_y,
+        jnp.broadcast_to(dx_v[:, None, :, None, 1], (NUM_LIMBS, k, k, 1)),
+    ], axis=-1)
+
+    return _score_pairs(
+        px, py, dirs, safe_norms, pair_valid, h, thresh_midpoint
+    )
+
+
 def limb_scores_sampled(pafs_small, factor, coords, valid, thresh_midpoint):
     """Limb scoring that samples the bicubic-upsampled PAF field directly.
 
@@ -368,7 +453,8 @@ def pack_peaks(coords, scores, valid, overflow):
 
 def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
                      thresh_midpoint=0.05, max_peaks=32,
-                     downsampling_ratio=8, use_fused_peaks=None):
+                     downsampling_ratio=8, use_fused_peaks=None,
+                     limb_backend=None):
     """Build the jitted batched decode for a fixed preprocessed input shape.
 
     Maps (params, images (N, H, W, 3) uint8/float RGB) to two packed arrays
@@ -380,12 +466,24 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
     upsample+peak-scan kernel on TPU; the PAF field is always materialised
     at x8 (dense phase-FIR beats point-sampling the Keys filter on TPU —
     see the measurement note in terran_tpu/pipeline.py::_pose_fn).
+    ``limb_backend`` (default: config ``limb_backend``, 'auto' = matmul
+    on TPU) picks the PAF sampler — :func:`limb_scores_matmul`'s one-hot
+    MXU contraction or :func:`limb_scores`' gathers.
     """
     from terran_tpu.ops.fused_peaks import fused_peaks_enabled
     from terran_tpu.ops.upsample import upsample_bicubic
 
     if use_fused_peaks is None:
         use_fused_peaks = fused_peaks_enabled()
+    if limb_backend is None:
+        from terran_tpu.config import get_config
+
+        limb_backend = get_config().limb_backend
+    if limb_backend == "auto":
+        limb_backend = (
+            "matmul" if jax.devices()[0].platform == "tpu" else "gather"
+        )
+    score = limb_scores_matmul if limb_backend == "matmul" else limb_scores
 
     @jax.jit
     def decode(params, images):
@@ -396,7 +494,7 @@ def make_pose_decode(model, height, width, *, keypoint_threshold=0.1,
         paf = upsample_bicubic(paf, downsampling_ratio)
 
         reg, accept = jax.vmap(
-            lambda paf_i, c, v: limb_scores(paf_i, c, v, thresh_midpoint)
+            lambda paf_i, c, v: score(paf_i, c, v, thresh_midpoint)
         )(paf, coords, valid)
 
         # Two packed arrays -> two d2h transfers (round trips through

@@ -33,6 +33,7 @@ With a mesh (``terran_tpu.parallel.mesh``), both programs shard the frame
 axis across chips; parameters are replicated.
 """
 
+import contextlib
 import functools
 
 import numpy as np
@@ -51,8 +52,8 @@ from terran_tpu.models.retinaface import (
 )
 from terran_tpu.ops.nms import nms_fixed
 from terran_tpu.ops.resize import (
-    resize_bilinear, resize_bilinear_u8_numpy, resize_bilinear_u8_torch,
-    resized_shape,
+    resize_bilinear, resize_bilinear_u8_cv2, resize_bilinear_u8_numpy,
+    resize_bilinear_u8_torch, resized_shape,
 )
 from terran_tpu.ops.fused_peaks import fused_peaks_enabled
 from terran_tpu.ops.pose_decode import (
@@ -100,7 +101,8 @@ class PerceptionPipeline:
                  with_pose=True, with_embeddings=True, timer=None,
                  embed_dispatch=None, limb_dispatch=None,
                  max_escalations=None, transfer_plan=None,
-                 embed_precision=None, pose_precision=None):
+                 embed_precision=None, pose_precision=None,
+                 host_resize=None):
         from terran_tpu.checkpoint import load_checkpoint_params
         from terran_tpu.config import get_config
 
@@ -269,6 +271,19 @@ class PerceptionPipeline:
                 f"transfer_plan must be 'device' or 'host', got "
                 f"{self.transfer_plan!r}"
             )
+        # Host-resize backend (config.host_resize): 'auto' prefers cv2 —
+        # the reference's own host arithmetic and ~55x the torch twin on
+        # 1-core hosts — falling back to the exact (bit-identical to the
+        # device resize) chain; 'exact' forces that chain; 'cv2'
+        # requires cv2.
+        self.host_resize = (
+            cfg.host_resize if host_resize is None else host_resize
+        )
+        if self.host_resize not in ("auto", "exact", "cv2"):
+            raise ValueError(
+                f"host_resize must be 'auto', 'exact', or 'cv2', got "
+                f"{self.host_resize!r}"
+            )
         if self.transfer_plan == "host":
             if self.with_embeddings and self.embed_dispatch != "adaptive":
                 raise ValueError(
@@ -289,8 +304,14 @@ class PerceptionPipeline:
         self._limb_fns = {}
         self._host_resize_fns = {}
 
-        # Optional observability hook (terran_tpu.utils.profiling.StageTimer).
+        # Optional observability hooks: a StageTimer (aggregate per-stage
+        # wall time) and/or a Timeline (per-batch spans with bytes, for
+        # serialization analysis — utils/profiling.py). dispatch_batch
+        # assigns each batch a monotonically increasing id that every
+        # stage span carries.
         self.timer = timer
+        self.timeline = None
+        self._batch_seq = 0
 
         # Pose thresholds (reference openpose/wrapper.py:177-180).
         self.keypoint_threshold = cfg.keypoint_threshold
@@ -686,17 +707,31 @@ class PerceptionPipeline:
         over (kb, kb) candidate pairs per limb (one compile per bucket).
 
         Takes the peak plan as one (B, P, kb, 3) upload: y, x, valid.
+        The PAF sampler follows ``config.limb_backend``: one-hot MXU
+        contractions on TPU (2.2x the gather form at kb=16 — gathers are
+        per-descriptor-bound there), gathers elsewhere.
         """
         key = (kb,) + tuple(paf_shape)
         if key in self._limb_fns:
             return self._limb_fns[key]
+
+        from terran_tpu.config import get_config
+        from terran_tpu.ops.pose_decode import limb_scores_matmul
+
+        backend = get_config().limb_backend
+        if backend == "auto":
+            backend = (
+                "matmul" if jax.devices()[0].platform == "tpu"
+                else "gather"
+            )
+        score = limb_scores_matmul if backend == "matmul" else limb_scores
 
         def limbs_fn(paf, cv_packed):
             coords = cv_packed[..., :2].astype(jnp.int32)
             valid = cv_packed[..., 2] > 0.5
             paf8 = upsample_bicubic(paf, 8)
             reg, accept = jax.vmap(
-                lambda p, c, v: limb_scores(
+                lambda p, c, v: score(
                     p, c, v, self.thresh_midpoint
                 )
             )(paf8, coords, valid)
@@ -880,23 +915,36 @@ class PerceptionPipeline:
         return jnp.asarray(array)
 
     def _host_resize(self, frames, out_h, out_w):
-        """Resize a uint8 batch on the host CPU backend with the SAME
-        bilinear + round the device programs use ('host' transfer plan).
+        """Resize a uint8 batch on the host ('host' transfer plan).
 
         Returns a uint8 numpy array (the resized values are exact
         integers after the round, so uint8 upload halves the bytes).
-        The arithmetic is this repo's own ``resize_bilinear`` — closer
-        to the device path than cv2's 2^-11 fixed point (which the
-        reference uses host-side and the device resize matches to +-1
-        count); on CPU test backends the two plans are bit-identical.
-        Without a CPU backend (accelerator-pinned JAX_PLATFORMS) the
-        torch twin runs instead — same geometry and f32 weights, +-1
-        count on ~0.4% of pixels from its fused-tap association order
-        (ops/resize.py) — falling back to the slow exact numpy twin
-        only when torch is absent.
+        Backend per ``self.host_resize``: 'auto' (default) prefers cv2's
+        SIMD fixed-point bilinear — EXACTLY the reference's own host
+        resize (ops/resize.py::resize_bilinear_u8_cv2), within +-1 count
+        of the device resize, and fast enough (68 ms/8x1080p batch on
+        one core) that the host plan's byte savings are not eaten by
+        the resize itself (r3: the 3.7-s torch resize was why the plan
+        lost on the host it was built for). The 'exact' chain is this
+        repo's own ``resize_bilinear`` arithmetic, bit-identical to the
+        device plan: the jitted CPU backend when one exists, else the
+        torch twin (same geometry/f32 weights, +-1 count on ~0.4% of
+        pixels from fused-tap association), else the numpy twin.
         """
         key = (out_h, out_w)
         fn = self._host_resize_fns.get(key)
+        if fn is None and self.host_resize in ("auto", "cv2"):
+            try:
+                import cv2  # noqa: F401
+
+                fn = functools.partial(
+                    resize_bilinear_u8_cv2, out_h=out_h, out_w=out_w
+                )
+            except ImportError:
+                if self.host_resize == "cv2":
+                    raise
+            if fn is not None:
+                self._host_resize_fns[key] = fn
         if fn is None:
             try:
                 cpu = jax.local_devices(backend="cpu")[0]
@@ -931,22 +979,25 @@ class PerceptionPipeline:
             self._host_resize_fns[key] = fn
         return fn(np.asarray(frames))
 
-    def _stage(self, name, items=0):
-        """Timing context for one pipeline stage (no-op without a timer)."""
-        import contextlib
+    @contextlib.contextmanager
+    def _stage(self, name, items=0, nbytes=0, batch=None):
+        """Timing context for one pipeline stage: records into the
+        aggregate StageTimer and, when a Timeline is attached and the
+        span carries a batch id, into the per-batch timeline (with the
+        bytes that crossed the link, where the caller knows them)."""
+        with contextlib.ExitStack() as st:
+            if self.timer is not None:
+                st.enter_context(self.timer.stage(name, items))
+            if self.timeline is not None and batch is not None:
+                st.enter_context(self.timeline.span(batch, name, nbytes))
+            yield
 
-        if self.timer is None:
-            return contextlib.nullcontext()
-        return self.timer.stage(name, items)
-
-    def _host_prep(self, frames):
-        """Host-side stage of the 'host' transfer plan for one batch:
-        mesh padding, the detect/pose resizes, and their uploads.
-        Returns the staged dict ``dispatch_batch`` consumes.
-        ``process_stream`` runs this on the uploader thread so the
-        resize + upload work overlaps dispatch, compute wait, and
-        result downloads — ``jax.device_put`` can block the calling
-        thread on tunneled runtimes (see io.video.prefetch)."""
+    def _host_prep_resize(self, frames):
+        """CPU half of the 'host' transfer plan's prep for one batch:
+        mesh padding plus the detect/pose resizes. Pure host work, no
+        device calls — ``process_stream`` runs it on its own thread so
+        batch i+1's resizes overlap batch i's uploads (the uploads are
+        mostly link wait, so this wins even on a 1-core host)."""
         frames = np.asarray(frames)
         n = frames.shape[0]
         if self.mesh is not None:
@@ -955,17 +1006,33 @@ class PerceptionPipeline:
         det_h, det_w, _ = resized_shape(
             full_h, full_w, self.det_short_side
         )
-        det_dev = self.put_frames(self._host_resize(frames, det_h, det_w))
-        pose_dev = None
+        det_host = self._host_resize(frames, det_h, det_w)
+        pose_host = None
         if self.with_pose and self.pose_params is not None:
             pose_h, pose_w, _ = resized_shape(
                 full_h, full_w, self.pose_short_side
             )
-            pose_dev = self.put_frames(
-                self._host_resize(frames, pose_h, pose_w)
-            )
-        return {"frames": frames, "n": n, "det_dev": det_dev,
-                "pose_dev": pose_dev}
+            pose_host = self._host_resize(frames, pose_h, pose_w)
+        return {"frames": frames, "n": n, "det_host": det_host,
+                "pose_host": pose_host}
+
+    def _host_prep_upload(self, prep):
+        """Upload half of the 'host' plan's prep: moves the resized
+        inputs to HBM (the raw frames stay host-resident for the
+        per-face embed windows). Runs on the uploader thread under
+        ``process_stream`` so ``jax.device_put`` blocking (tunneled
+        runtimes) never stalls the dispatch loop."""
+        pose_host = prep.pop("pose_host")
+        prep["det_dev"] = self.put_frames(prep.pop("det_host"))
+        prep["pose_dev"] = (
+            self.put_frames(pose_host) if pose_host is not None else None
+        )
+        return prep
+
+    def _host_prep(self, frames):
+        """Full host-plan prep (resizes + uploads) for one batch;
+        ``process_stream`` runs the two halves on separate threads."""
+        return self._host_prep_upload(self._host_prep_resize(frames))
 
     def _dispatch_perception(self, frames_dev, top_k=None, pre_shape=None):
         """Enqueue the detection program (and, in fused embed mode, the
@@ -1008,8 +1075,10 @@ class PerceptionPipeline:
         Returns (out dict of in-flight device arrays, pose tuple or None,
         n, pose_scale).
         """
+        bid = self._batch_seq
+        self._batch_seq += 1
         if stage is None:
-            stage = self._stage
+            stage = functools.partial(self._stage, batch=bid)
 
         hostprep = self.transfer_plan == "host"
         prep = None
@@ -1052,7 +1121,7 @@ class PerceptionPipeline:
                     frames_dev, top_k=tk, pre_shape=(full_h, full_w)
                 )
         else:
-            with stage("h2d", items=n):
+            with stage("h2d", items=n, nbytes=getattr(frames, "nbytes", 0)):
                 frames_dev = self.put_frames(frames)
 
             with stage("perception_step", items=n):
@@ -1102,12 +1171,34 @@ class PerceptionPipeline:
                         if hasattr(v, "copy_to_host_async"):
                             v.copy_to_host_async()
 
+        out["_batch_id"] = bid
         return out, pose_out, n, pose_scale
 
     def finalize_batch(self, out, pose_out, n, pose_scale, stage=None):
         """Fetch results and run the host stages for a dispatched batch."""
+        return self.collect_batch(
+            self.advance_batch(out, pose_out, n, pose_scale, stage=stage)
+        )
+
+    def advance_batch(self, out, pose_out, n, pose_scale, stage=None):
+        """Finalization phase A: fetch the small DECISION results (packed
+        detections, peak coordinates), run overflow escalations, and
+        dispatch the occupancy-adaptive second-stage programs (bucketed
+        warp+embed, limb scoring) with their result transfers started.
+        Returns the state dict ``collect_batch`` consumes.
+
+        The split exists for ``process_stream``: the adaptive dispatch
+        chain detections -> embed and peaks -> limbs needs host round
+        trips by design, and running them back-to-back with the final
+        fetches serialized every round trip against the next batch's
+        upload on a shared link (r3: ~1.7 s/batch of the relay session
+        was exactly this). Phase A runs as soon as a batch's forward has
+        had a slot to compute; the heavy blocking fetches (phase B,
+        ``collect_batch``) run one further slot later, so the limb/embed
+        programs compute while the NEXT batch uploads and advances."""
+        bid = out.pop("_batch_id", None)
         if stage is None:
-            stage = self._stage
+            stage = functools.partial(self._stage, batch=bid)
 
         frames_dev = out.pop("_frames_dev", None)
         frames_host = out.pop("_frames_host", None)
@@ -1119,7 +1210,10 @@ class PerceptionPipeline:
         # already started by copy_to_host_async at dispatch time).
         from terran_tpu.models.retinaface import unpack_detections
 
-        det = np.asarray(out.pop("det_packed"))[:n]
+        det_dev = out.pop("det_packed")
+        with stage("det_fetch", items=n,
+                   nbytes=getattr(det_dev, "nbytes", 0)):
+            det = np.asarray(det_dev)[:n]
         boxes, landmarks, scores, mask, overflow = unpack_detections(det)
         # Overflow escalation: a saturated NMS pre-selection may have
         # dropped real faces; re-dispatch the perception program at
@@ -1164,13 +1258,16 @@ class PerceptionPipeline:
             with stage("embed_dispatch", items=n):
                 emb_plan = self._dispatch_adaptive_embed(out, frames_dev, n)
 
+        pose_state = None
         if pose_out is not None:
             if isinstance(pose_out, tuple) and pose_out[0] == "adaptive":
-                with stage("pose_fetch", items=n):
+                peaks_dev = pose_out[1]
+                with stage("pose_fetch", items=n,
+                           nbytes=getattr(peaks_dev, "nbytes", 0)):
                     # Keep the FULL (padded) batch for the limb dispatch:
                     # under a mesh the bucketed program runs over every
                     # shard, padding rows included.
-                    peaks_np = np.asarray(pose_out[1])
+                    peaks_np = np.asarray(peaks_dev)
                 paf_dev = pose_out[2]
                 repose = pose_out[3]
                 # Escalation: a saturated part heatmap dropped its weakest
@@ -1195,47 +1292,80 @@ class PerceptionPipeline:
                     kb, limbs_dev = self._dispatch_adaptive_limbs(
                         paf_dev, coords, valid, cap=mp_used
                     )
-                coords = coords[:n, :, :kb]
-                scores = scores[:n, :, :kb]
-                valid = valid[:n, :, :kb]
-                with stage("limb_fetch", items=n):
-                    if limbs_dev is None:  # no peaks anywhere
-                        reg = np.zeros(
-                            (n, NUM_LIMBS, kb, kb), np.float32
-                        )
-                        accept = np.zeros((n, NUM_LIMBS, kb, kb), bool)
-                    else:
-                        limbs = np.asarray(limbs_dev)[:n]
-                        reg = limbs[..., 0]
-                        accept = limbs[..., 1] > 0.5
+                pose_state = (
+                    "adaptive", coords[:n, :, :kb], scores[:n, :, :kb],
+                    valid[:n, :, :kb], kb, limbs_dev,
+                )
             else:
-                with stage("pose_fetch", items=n):
-                    from terran_tpu.ops.pose_decode import (
-                        unpack_pose_outputs,
-                    )
+                # Fused limb path: one packed result, fetched in phase B
+                # (nothing is dispatched downstream of it, so there is no
+                # round trip to hoist; its overflow escalation also lives
+                # there since it needs the fetched flag).
+                pose_state = ("fused", pose_out, frames_dev)
 
+        return {
+            "out": out, "n": n, "pose_scale": pose_scale, "bid": bid,
+            "stage": stage, "emb_plan": emb_plan,
+            "adaptive_embed": adaptive_embed, "pose": pose_state,
+        }
+
+    def collect_batch(self, state):
+        """Finalization phase B: the heavy blocking fetches (limb tables,
+        embeddings, or the fused pose grid) and the host-side human
+        assembly. Runs one pipeline slot after ``advance_batch`` under
+        ``process_stream`` so the programs it waits on computed while the
+        next batch was advancing."""
+        out = state["out"]
+        n = state["n"]
+        pose_scale = state["pose_scale"]
+        stage = state["stage"]
+
+        if state["pose"] is not None and state["pose"][0] == "adaptive":
+            _, coords, scores, valid, kb, limbs_dev = state["pose"]
+            with stage("limb_fetch", items=n,
+                       nbytes=getattr(limbs_dev, "nbytes", 0)):
+                if limbs_dev is None:  # no peaks anywhere
+                    reg = np.zeros(
+                        (n, NUM_LIMBS, kb, kb), np.float32
+                    )
+                    accept = np.zeros((n, NUM_LIMBS, kb, kb), bool)
+                else:
+                    limbs = np.asarray(limbs_dev)[:n]
+                    reg = limbs[..., 0]
+                    accept = limbs[..., 1] > 0.5
+        elif state["pose"] is not None:
+            _, pose_out, frames_dev = state["pose"]
+            with stage("pose_fetch", items=n,
+                       nbytes=sum(getattr(v, "nbytes", 0)
+                                  for v in pose_out)):
+                from terran_tpu.ops.pose_decode import (
+                    unpack_pose_outputs,
+                )
+
+                (coords, scores, valid, reg, accept,
+                 pose_overflow) = unpack_pose_outputs(
+                    *map(np.asarray, pose_out)
+                )
+            mp_used = self.max_peaks
+            attempts = 0
+            while (pose_overflow[:n].any() and frames_dev is not None
+                   and attempts < self.max_escalations):
+                attempts += 1
+                mp_used *= 2
+                self.escalations["pose"] += 1
+                with stage("pose_escalation", items=n):
+                    decode = self._pose_fn(
+                        frames_dev.shape[1], frames_dev.shape[2],
+                        mp_used,
+                    )
+                    pose_out = decode(self.pose_params, frames_dev)
                     (coords, scores, valid, reg, accept,
                      pose_overflow) = unpack_pose_outputs(
                         *map(np.asarray, pose_out)
                     )
-                mp_used = self.max_peaks
-                attempts = 0
-                while (pose_overflow[:n].any() and frames_dev is not None
-                       and attempts < self.max_escalations):
-                    attempts += 1
-                    mp_used *= 2
-                    self.escalations["pose"] += 1
-                    with stage("pose_escalation", items=n):
-                        decode = self._pose_fn(
-                            frames_dev.shape[1], frames_dev.shape[2],
-                            mp_used,
-                        )
-                        pose_out = decode(self.pose_params, frames_dev)
-                        (coords, scores, valid, reg, accept,
-                         pose_overflow) = unpack_pose_outputs(
-                            *map(np.asarray, pose_out)
-                        )
-                out["pose_overflow"] = pose_overflow[:n].any(axis=-1)
+            out["pose_overflow"] = pose_overflow[:n].any(axis=-1)
+
+        if state["pose"] is not None:
             with stage("pose_assembly", items=n):
                 poses = []
                 for i in range(n):
@@ -1250,13 +1380,16 @@ class PerceptionPipeline:
 
         if "emb_packed" in out:
             # Fused path: unpack the single-transfer embedding grid.
-            emb = np.asarray(out.pop("emb_packed"))[:n]
+            emb_dev = out.pop("emb_packed")
+            with stage("embed_fetch", items=n,
+                       nbytes=getattr(emb_dev, "nbytes", 0)):
+                emb = np.asarray(emb_dev)[:n]
             out["embeddings"] = emb[..., :-1]
             out["embeddings_mask"] = emb[..., -1] > 0.5
-        elif adaptive_embed:
+        elif state["adaptive_embed"]:
             with stage("embed_fetch", items=n):
                 out["embeddings"], out["embeddings_mask"] = (
-                    self._collect_adaptive_embed(emb_plan, n)
+                    self._collect_adaptive_embed(state["emb_plan"], n)
                 )
         if "poses" in out:
             out["poses"] = out["poses"][:n]
@@ -1481,22 +1614,69 @@ class PerceptionPipeline:
         if prefetch and self.mesh is None:
             from terran_tpu.io.video.prefetch import threaded_device_put
 
-            # Device plan: pre-upload the raw frames. Host plan: run the
-            # whole host-prep stage (resizes + their uploads) on the
-            # uploader thread instead — the full frames never upload.
-            put = (
-                self._host_prep if self.transfer_plan == "host"
-                else self.put_frames
-            )
-            batches = threaded_device_put(batches, depth=depth, put=put)
+            def timed(fn, event):
+                """Record the worker thread's spans against the batch id
+                the dispatch loop will assign: every stage consumes the
+                source in order, so the k-th batch through a worker is
+                dispatch id _batch_seq + k."""
+                if self.timeline is None:
+                    return fn
+                import itertools
 
+                counter = itertools.count(self._batch_seq)
+
+                def wrapped(x, _fn=fn, _c=counter):
+                    if isinstance(x, dict):
+                        nbytes = sum(
+                            getattr(v, "nbytes", 0) for k, v in x.items()
+                            if k.endswith("_host")
+                        )
+                    else:
+                        nbytes = getattr(x, "nbytes", 0)
+                    with self.timeline.span(next(_c), event, nbytes):
+                        return _fn(x)
+
+                return wrapped
+
+            if self.transfer_plan == "host":
+                # Two worker stages: batch i+1's resizes (CPU) overlap
+                # batch i's uploads (link wait) — the full frames never
+                # upload at all.
+                batches = threaded_device_put(
+                    batches, depth=depth,
+                    put=timed(self._host_prep_resize, "host_resize_thread"),
+                )
+                batches = threaded_device_put(
+                    batches, depth=depth,
+                    put=timed(self._host_prep_upload, "h2d_thread"),
+                )
+            else:
+                batches = threaded_device_put(
+                    batches, depth=depth,
+                    put=timed(self.put_frames, "h2d_thread"),
+                )
+
+        # Two-phase finalization: once a batch leaves the dispatch window,
+        # phase A (advance_batch: decision fetches + adaptive dispatches)
+        # runs immediately, but phase B (collect_batch: the heavy blocking
+        # fetches + assembly) waits one further slot — so the limb/embed
+        # programs dispatched in phase A compute while the NEXT batch
+        # uploads and advances, instead of being waited on back-to-back
+        # over the same link the upload is using.
         pending = deque()
+        advanced = deque()
         for frames in batches:
             pending.append(self.dispatch_batch(frames))
             if len(pending) > depth:
-                yield self.finalize_batch(*pending.popleft())
+                advanced.append(self.advance_batch(*pending.popleft()))
+            if len(advanced) > 1:
+                yield self.collect_batch(advanced.popleft())
         while pending:
-            yield self.finalize_batch(*pending.popleft())
+            advanced.append(self.advance_batch(*pending.popleft()))
+            if len(advanced) > 1:
+                yield self.collect_batch(advanced.popleft())
+        while advanced:
+            yield self.collect_batch(advanced.popleft())
 
     def faces_from(self, out):
         """Convert step outputs to the task-API list-of-dicts contract."""

@@ -94,6 +94,61 @@ class StageTimer:
         self.items.clear()
 
 
+class Timeline:
+    """Per-batch event timeline for pipeline serialization analysis.
+
+    Records (batch id, event, start, end, bytes) spans against one shared
+    origin so overlap (or its absence) between uploads, dispatches, and
+    fetches across batches is directly visible. Wall spans measure where
+    the HOST waited — exactly the serialization question (device-side
+    cost is benchmarks/device_time.py's job). Used by ``bench.py``'s
+    BENCH_TIMELINE sweep (r3 verdict: ~1.7 s/batch was unaccounted; the
+    timeline is the instrument that locates it).
+    """
+
+    def __init__(self):
+        self.events = []
+        self.origin = time.perf_counter()
+
+    @contextlib.contextmanager
+    def span(self, batch, event, nbytes=0):
+        start = time.perf_counter()
+        yield
+        self.events.append(
+            (batch, event, start - self.origin,
+             time.perf_counter() - self.origin, int(nbytes))
+        )
+
+    def mark(self, batch, event, nbytes=0):
+        t = time.perf_counter() - self.origin
+        self.events.append((batch, event, t, t, int(nbytes)))
+
+    def rows(self):
+        """Compact [batch, event, start_ms, dur_ms, bytes] rows."""
+        return [
+            [b, e, round(s * 1000, 1), round((t - s) * 1000, 1), n]
+            for b, e, s, t, n in sorted(self.events, key=lambda r: r[2])
+        ]
+
+    def gaps(self):
+        """Host-idle gaps > 1 ms between consecutive spans per batch —
+        time the main thread spent elsewhere (another batch's stages, or
+        genuinely idle)."""
+        out = []
+        by_batch = defaultdict(list)
+        for b, e, s, t, _ in self.events:
+            by_batch[b].append((s, t, e))
+        for b, spans in by_batch.items():
+            spans.sort()
+            for (s0, t0, e0), (s1, t1, e1) in zip(spans, spans[1:]):
+                if s1 - t0 > 0.001:
+                    out.append(
+                        [b, f"{e0}->{e1}", round(t0 * 1000, 1),
+                         round((s1 - t0) * 1000, 1)]
+                    )
+        return out
+
+
 _GLOBAL_TIMER = StageTimer()
 
 

@@ -117,6 +117,41 @@ def test_limb_scores_sampled_bitwise_matches_materialized(rng):
     )
 
 
+def test_limb_scores_matmul_bitwise_matches_gather(rng):
+    """The one-hot-matmul sampler (limb_scores_matmul — MXU contraction
+    instead of per-sample gather descriptors) must be BIT-identical to
+    limb_scores: the indicator rows have a single 1.0, so every sampled
+    value is exact, and the downstream _score_pairs arithmetic is shared.
+    Covers full/empty/degenerate validity and out-of-field coordinates
+    (clipped identically)."""
+    from terran_tpu.ops.pose_decode import limb_scores_matmul
+
+    h, w, k = 96, 160, 7
+    pafs = rng.normal(scale=0.3, size=(h, w, 38)).astype(np.float32)
+    coords = rng.integers(
+        -4, max(h, w) + 4, size=(NUM_PARTS, k, 2)
+    ).astype(np.int32)
+    for valid in (
+        rng.uniform(size=(NUM_PARTS, k)) < 0.7,
+        np.ones((NUM_PARTS, k), bool),
+        np.zeros((NUM_PARTS, k), bool),
+    ):
+        reg_ref, accept_ref = limb_scores(
+            jnp.asarray(pafs), jnp.asarray(coords), jnp.asarray(valid),
+            0.05,
+        )
+        reg_got, accept_got = limb_scores_matmul(
+            jnp.asarray(pafs), jnp.asarray(coords), jnp.asarray(valid),
+            0.05,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(reg_got), np.asarray(reg_ref)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(accept_got), np.asarray(accept_ref)
+        )
+
+
 def _upsampled_size(s):
     return s
 

@@ -96,5 +96,6 @@ def test_pipeline_methods():
     from terran_tpu.pipeline import PerceptionPipeline
 
     for method in ("process_batch", "process_stream", "dispatch_batch",
+                   "advance_batch", "collect_batch",
                    "finalize_batch", "faces_from", "put_frames"):
         assert callable(getattr(PerceptionPipeline, method))

@@ -62,6 +62,15 @@ REFERENCE_CPU_FPS = 0.243
 DEFAULT_PEAK_TFLOPS = 190.7
 
 
+def _progress(msg):
+    """Stage progress on stderr: the JSON contract owns stdout, but a
+    30-60 min run (remote compiles dominate) is undebuggable without a
+    heartbeat — each stage logs when it starts/ends so a stalled run can
+    be attributed to compile vs sweep vs link probe."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _load_params():
     """Real checkpoints when converted into the store; random otherwise."""
     from terran_tpu.checkpoint import read_checkpoint_db
@@ -439,9 +448,11 @@ def main():
 
     # Warmup: compile all three programs, then ramp the pipelined path
     # (threaded uploader, queues) so the first timed sweep isn't cold.
+    _progress("device-plan warmup (compiles)...")
     pipeline.process_batch(batches[0])
     for _ in pipeline.process_stream(batches[:2], depth=depth):
         pass
+    _progress("device-plan warmup done")
 
     # End-to-end sweeps: threaded uploads + depth-deep dispatch overlap
     # h2d of batch i+2 with batch i+1's compute and batch i's downloads.
@@ -467,6 +478,7 @@ def main():
         sweeps.append(
             round(batch_size * num_batches / (time.time() - t0), 2)
         )
+        _progress(f"device-plan sweep {s + 1}/5: {sweeps[-1]} fps")
         if pipeline.timeline is not None:
             timeline_rows = pipeline.timeline.rows()
             timeline_gaps = sorted(
@@ -503,9 +515,11 @@ def main():
                 embed_precision=embed_precision,
                 pose_precision=pose_precision,
             )
+            _progress("host-plan warmup (compiles)...")
             pipeline_host.process_batch(batches[0])
             for _ in pipeline_host.process_stream(batches[:2], depth=depth):
                 pass
+            _progress("host-plan warmup done")
             for s in range(5):
                 if s == 4 and os.environ.get("BENCH_TIMELINE", "1") != "0":
                     from terran_tpu.utils.profiling import Timeline
@@ -519,6 +533,7 @@ def main():
                 host_sweeps.append(
                     round(batch_size * num_batches / (time.time() - t0), 2)
                 )
+                _progress(f"host-plan sweep {s + 1}/5: {host_sweeps[-1]} fps")
                 if pipeline_host.timeline is not None:
                     host_timeline_rows = pipeline_host.timeline.rows()
                     pipeline_host.timeline = None
@@ -531,10 +546,12 @@ def main():
         fps = host_fps
         plan_used = "host"
 
+    _progress("device-only measurement (slope-timed)...")
     (device_only_fps, achieved_tflops, device_stage_ms,
      device_typical_fps) = measure_device_only(
         pipeline, batches[0], device_iters
     )
+    _progress("link microbenchmark...")
     h2d_gbps, roundtrip_ms = measure_link(batches[0])
 
     baseline = os.environ.get("BENCH_BASELINE_FPS")

@@ -271,6 +271,88 @@ def _blend_taps(p00, p01, p10, p11, x0i, y0i, fx, fy, inside, h, w):
     return jnp.where(inside[..., None], out, 0.0)
 
 
+def warp_affine_u8_batch_numpy(image, matrices, out_h=112, out_w=112):
+    """Host (numpy) twin of :func:`warp_affine` over a batch of matrices,
+    rounded to uint8.
+
+    Used by the pipeline's 'host' transfer plan: faces are aligned on the
+    host so only the (out_h, out_w) uint8 crops cross the link (~37 KB per
+    face vs the megabytes of a full frame or a per-face pixel window).
+    Mirrors ``_warp_affine_core`` + ``_blend_taps`` + ``jnp.round``
+    operation for operation in the same float32 order (``np.rint`` and
+    ``jnp.round`` are both half-to-even), so the crops match the device
+    program within ONE rounded count: XLA may contract the bilinear
+    blend's multiply-adds into FMAs, so a sample landing within one ulp
+    of an exact .5 tie can round the other way (measured ~1 pixel per
+    56x48 crop on the CPU backend; everything else is bit-equal). Degenerate matrices (non-finite coordinates from
+    a collinear-landmark solve) fall out through the inside test as fill,
+    exactly like the device gather's clamp.
+    """
+    image = np.asarray(image)
+    h, w = image.shape[0], image.shape[1]
+    if h < 2 or w < 2:
+        # Same tiny-source fallback as warp_affine: edge-pad so the 2x2
+        # tap window fits; logical dims keep the inside test/selects.
+        image = np.pad(
+            image, ((0, max(0, 2 - h)), (0, max(0, 2 - w)), (0, 0)),
+            mode="edge",
+        )
+    c = image.shape[2]
+    mats = np.asarray(matrices, dtype=np.float32)  # (M, 2, 3)
+
+    ys = np.arange(out_h, dtype=np.float32) + 0.5
+    xs = np.arange(out_w, dtype=np.float32) + 0.5
+    xg, yg = np.meshgrid(xs, ys)  # (out_h, out_w)
+
+    with np.errstate(invalid="ignore", over="ignore"):
+        raw_x = (mats[:, 0, 0, None, None] * xg
+                 + mats[:, 0, 1, None, None] * yg
+                 + mats[:, 0, 2, None, None])
+        raw_y = (mats[:, 1, 0, None, None] * xg
+                 + mats[:, 1, 1, None, None] * yg
+                 + mats[:, 1, 2, None, None])
+        inside = (raw_x >= 0) & (raw_x < w) & (raw_y >= 0) & (raw_y < h)
+
+        src_x = raw_x - np.float32(0.5)
+        src_y = raw_y - np.float32(0.5)
+        x0 = np.floor(src_x)
+        y0 = np.floor(src_y)
+        fx = (src_x - x0)[..., None]
+        fy = (src_y - y0)[..., None]
+        x0i = x0.astype(np.int32)
+        y0i = y0.astype(np.int32)
+
+    oy = np.clip(y0i, 0, image.shape[0] - 2)
+    ox = np.clip(x0i, 0, image.shape[1] - 2)
+    flat = image.reshape(-1, c)
+    base = oy.astype(np.int64) * image.shape[1] + ox
+    p00 = flat[base].astype(np.float32)  # (M, out_h, out_w, C)
+    p01 = flat[base + 1].astype(np.float32)
+    p10 = flat[base + image.shape[1]].astype(np.float32)
+    p11 = flat[base + image.shape[1] + 1].astype(np.float32)
+
+    # Edge-replication selects, identical to _blend_taps.
+    ly = (y0i == -1)[..., None]
+    hy = (y0i == h - 1)[..., None]
+    lx = (x0i == -1)[..., None]
+    hx = (x0i == w - 1)[..., None]
+    r0c0 = np.where(hy, p10, p00)
+    r0c1 = np.where(hy, p11, p01)
+    r1c0 = np.where(ly, p00, p10)
+    r1c1 = np.where(ly, p01, p11)
+    v00 = np.where(hx, r0c1, r0c0)
+    v01 = np.where(lx, r0c0, r0c1)
+    v10 = np.where(hx, r1c1, r1c0)
+    v11 = np.where(lx, r1c0, r1c1)
+
+    with np.errstate(invalid="ignore"):
+        top = v00 * (1 - fx) + v01 * fx
+        bot = v10 * (1 - fx) + v11 * fx
+        out = top * (1 - fy) + bot * fy
+        out = np.where(inside[..., None], out, np.float32(0.0))
+        return np.rint(out).astype(np.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w",
                                              "frame_h", "frame_w"))
 def warp_affine_windowed(window, matrix, origin, frame_h, frame_w,

@@ -62,8 +62,8 @@ from terran_tpu.ops.pose_decode import (
 from terran_tpu.ops.upsample import upsample_bicubic
 from terran_tpu.ops.warp import (
     SLAB_MARGIN, WARP_GROUPS, alignment_matrices, alignment_matrices_jax,
-    best_warp_group, warp_affine_batch, warp_affine_windowed,
-    warp_affine_windowed_grouped,
+    best_warp_group, warp_affine_batch, warp_affine_u8_batch_numpy,
+    warp_affine_windowed, warp_affine_windowed_grouped,
 )
 from terran_tpu.parallel.mesh import (
     batch_sharding, pad_batch_to_multiple, replicated_sharding,
@@ -508,7 +508,7 @@ class PerceptionPipeline:
         return fn
 
     def _warp_embed_window_fn(self, k_slots, ws, frames_shape,
-                              group=None, slab=None, from_windows=False):
+                              group=None, slab=None):
         """Windowed variant of :meth:`_warp_embed_fn`: each face's crop is
         gathered from a ``(ws, ws)`` window dynamic-sliced around its
         source quad instead of the full frame (the patch gather pays an
@@ -523,18 +523,10 @@ class PerceptionPipeline:
         ``ops.warp.grouped_warp_eligible`` at that group (the dispatcher
         picks the largest eligible size via ``ops.warp.best_warp_group``).
 
-        With ``from_windows`` (the 'host' transfer plan) the program's
-        batch input is the already-sliced (B, k, ws, ws, C) uint8 window
-        stack instead of the full frames — the warp itself is identical
-        (coordinates stay in full-frame space; only the gather operand
-        changes), so the crops are bit-identical to the device-sliced
-        path. ``frames_shape`` still names the logical full-frame shape.
         """
         # Production keys stay (k, ws, group, b, h, w, c); a profiling
-        # slab override or the window-input variant get their own,
-        # longer keys.
+        # slab override gets its own, longer key.
         key = ((k_slots, ws, group) + (() if slab is None else (slab,))
-               + (("wins",) if from_windows else ())
                + tuple(frames_shape))
         if key in self._warp_embed_fns:
             return self._warp_embed_fns[key]
@@ -554,17 +546,14 @@ class PerceptionPipeline:
             valid = (packed[..., 6] > 0.5).reshape(-1)
             oyx = packed[..., 7:9].astype(jnp.int32)  # (B, k, 2)
 
-            if from_windows:
-                wins = frames  # (B, k, ws, ws, C), sliced on host
-            else:
-                def slice_one(img, o):
-                    return jax.lax.dynamic_slice(
-                        img, (o[0], o[1], 0), (ws, ws, img.shape[2])
-                    )
+            def slice_one(img, o):
+                return jax.lax.dynamic_slice(
+                    img, (o[0], o[1], 0), (ws, ws, img.shape[2])
+                )
 
-                wins = jax.vmap(
-                    jax.vmap(slice_one, in_axes=(None, 0))
-                )(frames, oyx)  # (B, k, ws, ws, C)
+            wins = jax.vmap(
+                jax.vmap(slice_one, in_axes=(None, 0))
+            )(frames, oyx)  # (B, k, ws, ws, C)
             wflat = wins.reshape((b * k_slots,) + wins.shape[2:])
             crops = jax.vmap(
                 lambda wdw, m, o: warp_fn(
@@ -823,48 +812,38 @@ class PerceptionPipeline:
 
         if (self.with_embeddings and self.rec_params is not None
                 and self.embed_dispatch == "adaptive"):
-            ws_list = [w for w in self.embed_windows
-                       if w <= min(height, width)]
-            full_frames = (
-                self.put_frames(np.zeros(frames_shape, np.uint8))
-                if hostprep else frames
-            )  # the oversized-face fallback uploads full frames even
-            # under the 'host' plan
             for k in sorted(set(self.embed_buckets) | {self.max_faces}):
                 if k > self.max_faces:
                     continue
-                for ws in ws_list:
+                if hostprep:
+                    # 'host' plan: faces warp on the host; the device
+                    # program is the crops+mask embed at each bucket.
+                    run(
+                        self._embed_fn(), self.rec_params,
+                        self._put_batch(
+                            np.zeros((batch, k, 112, 112, 3), np.uint8)
+                        ),
+                        self._put_batch(np.zeros((batch, k), bool)),
+                    )
+                    continue
+                for ws in [w for w in self.embed_windows
+                           if w <= min(height, width)]:
                     # Warm the per-pixel fallback plus every dispatchable
                     # group size (8 for faces <= ~80 px, 4 up to ~1.33x
                     # source scale).
                     for group in WARP_GROUPS + (None,):
-                        if hostprep:
-                            run(
-                                self._warp_embed_window_fn(
-                                    k, ws, frames_shape, group=group,
-                                    from_windows=True,
-                                ),
-                                self.rec_params,
-                                self._put_batch(np.zeros(
-                                    (batch, k, ws, ws, 3), np.uint8
-                                )),
-                                self._put_batch(
-                                    np.zeros((batch, k, 9), np.float32)
-                                ),
-                            )
-                        else:
-                            run(
-                                self._warp_embed_window_fn(
-                                    k, ws, frames_shape, group=group
-                                ),
-                                self.rec_params, frames,
-                                self._put_batch(
-                                    np.zeros((batch, k, 9), np.float32)
-                                ),
-                            )
+                        run(
+                            self._warp_embed_window_fn(
+                                k, ws, frames_shape, group=group
+                            ),
+                            self.rec_params, frames,
+                            self._put_batch(
+                                np.zeros((batch, k, 9), np.float32)
+                            ),
+                        )
                 run(
                     self._warp_embed_fn(k, frames_shape),
-                    self.rec_params, full_frames,
+                    self.rec_params, frames,
                     self._put_batch(np.zeros((batch, k, 7), np.float32)),
                 )
 
@@ -1246,12 +1225,17 @@ class PerceptionPipeline:
         )
         emb_plan = None
         if adaptive_embed and frames_host is not None:
-            # 'host' plan: slice the per-face windows from the
-            # host-resident originals and upload only those.
-            with stage("embed_dispatch", items=n):
-                emb_plan = self._dispatch_adaptive_embed_host(
-                    out, frames_host, full_shape, n
-                )
+            # 'host' plan: align the faces on the host and upload only
+            # the 112x112 crops — on the embed worker thread, so the
+            # CPU warp and the crop upload overlap the main loop's pose
+            # fetches and the NEXT batch's resize/upload threads instead
+            # of serializing against them (collect_batch resolves the
+            # future). out is read-only to the worker (mask/landmarks,
+            # set above) — the main loop only ADDS keys after this.
+            emb_plan = self._embed_pool().submit(
+                self._dispatch_adaptive_embed_host,
+                out, frames_host, full_shape, n, stage,
+            )
         elif adaptive_embed and frames_dev is not None:
             # Dispatch the bucketed warp+embed now; it computes while the
             # pose fetch and host assembly below run.
@@ -1528,43 +1512,66 @@ class PerceptionPipeline:
             emb.copy_to_host_async()
         return emb
 
-    def _dispatch_adaptive_embed_host(self, out, frames, full_shape, n):
+    def _embed_pool(self):
+        """Single-thread executor for the 'host' plan's embed jobs: one
+        worker keeps the relay's dispatch order deterministic while the
+        host warp + crop upload overlap the main loop (JAX dispatch is
+        thread-safe; the frame uploader threads already coexist)."""
+        pool = getattr(self, "_embed_pool_obj", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="terran-tpu-embed"
+            )
+            self._embed_pool_obj = pool
+        return pool
+
+    def _dispatch_adaptive_embed_host(self, out, frames, full_shape, n,
+                                      stage=None):
         """'host' transfer plan variant of :meth:`_dispatch_adaptive_embed`:
-        the per-face ``(ws, ws)`` windows are sliced from the
-        host-resident original frames and uploaded — at typical
-        occupancy a small fraction of the full-frame bytes. The warp
-        program is the same family with the dynamic-slice removed
-        (``from_windows``), so the crops are bit-identical. Oversized
-        faces or tiny frames upload the full frames once and take the
-        ordinary device path, exactly like the device plan's fallback.
+        faces are aligned ON THE HOST (``ops.warp.warp_affine_u8_batch_numpy``,
+        the device warp's arithmetic twin — within one rounded count) and
+        only the (k, 112, 112) uint8 crops cross the link: ~37 KB per face
+        slot against the device plan's 6 MB full frames — r3's window
+        upload ((b, k, ws, ws) pixel windows) cost 12-50 MB per batch at
+        ws 256-512 and LOST to the raw frames it was meant to undercut.
+        From the crops onward the device arithmetic is the fused path's
+        own crops+mask program (:meth:`_embed_fn`).
+
+        ``process_stream`` runs this on the embed worker thread (the warp
+        is host CPU work and the upload is link wait — both overlap the
+        main loop); ``stage`` carries the caller's per-batch timing
+        context. Returns the in-flight device result (or None when no
+        faces were found — the reference's empty-input (0, 512) case,
+        arcface/wrapper.py:159-164).
         """
+        if stage is None:
+            stage = self._stage
         frames = np.asarray(frames)
         b = frames.shape[0]
         fh, fw = full_shape
         plan = self._plan_adaptive_embed(out, b, fh, fw)
         if plan is None:
             return None
-        packed, k, ws, group = plan
-        if ws is None:
-            frames_dev = self.put_frames(frames)
-            fn = self._warp_embed_fn(k, frames_dev.shape)
-            emb = fn(self.rec_params, frames_dev,
-                     self._put_batch(packed[..., :7]))
-        else:
-            c = frames.shape[3]
-            wins = np.zeros((b, k, ws, ws, c), np.uint8)
-            valid_ij = np.argwhere(packed[..., 6] > 0.5)
-            for i, j in valid_ij:
-                oy = int(packed[i, j, 7])
-                ox = int(packed[i, j, 8])
-                wins[i, j] = frames[i, oy:oy + ws, ox:ox + ws]
-            fn = self._warp_embed_window_fn(
-                k, ws, (b, fh, fw, c), group=group, from_windows=True,
+        packed, k, _ws, _group = plan
+        mask = packed[..., 6] > 0.5
+        with stage("embed_host_warp", items=int(mask.sum())):
+            crops = np.zeros((b, k, 112, 112, frames.shape[3]), np.uint8)
+            for i in range(b):
+                js = np.flatnonzero(mask[i])
+                if js.size:
+                    crops[i, js] = warp_affine_u8_batch_numpy(
+                        frames[i], packed[i, js, :6].reshape(-1, 2, 3)
+                    )
+        with stage("embed_dispatch", items=n,
+                   nbytes=crops.nbytes + mask.nbytes):
+            emb = self._embed_fn()(
+                self.rec_params, self._put_batch(crops),
+                self._put_batch(mask),
             )
-            emb = fn(self.rec_params, self._put_batch(wins),
-                     self._put_batch(packed))
-        if hasattr(emb, "copy_to_host_async"):
-            emb.copy_to_host_async()
+            if hasattr(emb, "copy_to_host_async"):
+                emb.copy_to_host_async()
         return emb
 
     def _collect_adaptive_embed(self, plan, n):
@@ -1573,6 +1580,8 @@ class PerceptionPipeline:
         max_faces only when capacity escalation fired for this batch)."""
         from terran_tpu.face.recognition import EMBEDDING_DIM
 
+        if hasattr(plan, "result"):  # 'host' plan: embed worker future
+            plan = plan.result()
         if plan is None:
             return (
                 np.zeros((n, self.max_faces, EMBEDDING_DIM), np.float32),

@@ -518,28 +518,35 @@ def test_escalation_embed_covers_crowd(tiny_pipeline_params, rng):
 
 
 def test_transfer_plan_host_matches_device(tiny_pipeline_params, rng):
-    """The 'host' transfer plan (upload resizes + per-face windows
-    instead of full frames) with the 'exact' resize backend must produce
-    BIT-identical results to the device plan: the host resize is the
-    same bilinear, and the window program gathers the same pixels the
-    device dynamic-slice would. (The default 'auto' backend prefers
-    cv2 — the reference's own host arithmetic, +-1 count — covered by
+    """The 'host' transfer plan (upload resizes + host-aligned face crops
+    instead of full frames) with the 'exact' resize backend must match
+    the device plan: detection/pose are BIT-identical (the host resize is
+    the same jitted bilinear), and embeddings agree to float tolerance —
+    the host warp is the device warp's arithmetic twin, but XLA's FMA
+    contraction can flip a .5-tie rounding on ~1 crop pixel in 10^3
+    (test_host_warp_numpy_bitwise_matches_device pins the crop contract).
+    (The default 'auto' resize backend prefers cv2 — the reference's own
+    host arithmetic, +-1 count — covered by
     test_transfer_plan_host_cv2_backend.)"""
     frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
     pipe_d = _make_pipeline(tiny_pipeline_params)
     pipe_h = _make_pipeline(tiny_pipeline_params, transfer_plan="host",
                             host_resize="exact")
-    # Small window bucket so the windowed path actually runs here.
     pipe_d.embed_windows = [64]
     pipe_h.embed_windows = [64]
     out_d = pipe_d.process_batch(frames)
     out_h = pipe_h.process_batch(frames)
     for key in ("boxes", "landmarks", "scores", "mask"):
         np.testing.assert_array_equal(out_d[key], out_h[key])
-    np.testing.assert_array_equal(out_d["embeddings"], out_h["embeddings"])
     np.testing.assert_array_equal(
         out_d["embeddings_mask"], out_h["embeddings_mask"]
     )
+    both = out_h["embeddings_mask"]
+    np.testing.assert_allclose(
+        out_d["embeddings"][both], out_h["embeddings"][both], atol=2e-4
+    )
+    assert (out_d["embeddings"][~both] == 0).all()
+    assert (out_h["embeddings"][~both] == 0).all()
     assert len(out_d["poses"]) == len(out_h["poses"])
     for pd_, ph_ in zip(out_d["poses"], out_h["poses"]):
         assert len(pd_) == len(ph_)
@@ -674,17 +681,23 @@ def test_host_resize_numpy_fallback(tiny_pipeline_params, rng,
 
 def test_transfer_plan_host_oversized_face_fallback(
         tiny_pipeline_params, rng):
-    """Faces exceeding every window bucket upload the full frames and
-    take the device full-frame program, exactly like the device plan."""
+    """Oversized faces don't change the host plan's dispatch: the host
+    warp aligns from the full host-resident frames regardless of the
+    window buckets (the device plan's full-frame program is the twin)."""
     pipe_h = _make_pipeline(tiny_pipeline_params, transfer_plan="host",
                             host_resize="exact")
     pipe_d = _make_pipeline(tiny_pipeline_params)
-    pipe_h.embed_windows = []   # force the full-frame fallback
+    pipe_h.embed_windows = []   # force the device plan's full-frame path
     pipe_d.embed_windows = []
     frames = rng.integers(0, 255, (1, 96, 128, 3), dtype=np.uint8)
     out_h = pipe_h.process_batch(frames)
     out_d = pipe_d.process_batch(frames)
-    np.testing.assert_array_equal(out_d["embeddings"], out_h["embeddings"])
+    np.testing.assert_array_equal(
+        out_d["embeddings_mask"], out_h["embeddings_mask"]
+    )
+    np.testing.assert_allclose(
+        out_d["embeddings"], out_h["embeddings"], atol=2e-4
+    )
 
 
 def test_transfer_plan_host_cv2_backend(tiny_pipeline_params, rng):

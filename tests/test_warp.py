@@ -132,6 +132,50 @@ def test_windowed_warp_bit_identical(rng):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_host_warp_numpy_bitwise_matches_device(rng):
+    """warp_affine_u8_batch_numpy (the 'host' transfer plan's CPU warp) is
+    the device warp's arithmetic twin: identical f32 chain, identical
+    half-to-even rounding. XLA may contract the blend's multiply-adds into
+    FMAs, so samples landing within one ulp of an exact .5 tie can round
+    the other way — the agreement contract is max one count, vanishingly
+    few pixels (measured ~1 per 56x48 crop on the CPU backend)."""
+    from terran_tpu.ops.warp import warp_affine_u8_batch_numpy
+
+    image = rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+    cases = [
+        (0.5, 0.3, 40.0, 30.0),    # interior
+        (1.2, -0.8, 1.0, 1.0),     # near top-left (edge replication)
+        (0.7, 0.1, 140.0, 100.0),  # spills past right/bottom (fill)
+        (1.0, 2.0, -20.0, -10.0),  # partially outside
+    ]
+    mats = np.stack([
+        np.linalg.inv(make_similarity(*c))[:2].astype(np.float32)
+        for c in cases
+    ])
+    got = warp_affine_u8_batch_numpy(image, mats, out_h=56, out_w=48)
+    for m, g in zip(mats, got):
+        ref = np.asarray(warp_affine(image, m, out_h=56, out_w=48))
+        ref_u8 = np.round(ref).astype(np.uint8)
+        diff = np.abs(g.astype(int) - ref_u8.astype(int))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 1e-3
+
+    # Degenerate (collinear-landmark) solves produce non-finite matrices;
+    # the device gather clamps them to fill — the host twin must too.
+    bad = np.full((1, 2, 3), np.nan, np.float32)
+    assert (warp_affine_u8_batch_numpy(image, bad) == 0).all()
+
+    # Tiny sources take the same edge-padded fallback as warp_affine.
+    tiny = rng.integers(0, 255, size=(1, 7, 3), dtype=np.uint8)
+    m = np.linalg.inv(make_similarity(0.5, 0.3, 1.0, -0.5))[:2]
+    m = m.astype(np.float32)[None]
+    got_t = warp_affine_u8_batch_numpy(tiny, m, out_h=8, out_w=6)
+    ref_t = np.round(
+        np.asarray(warp_affine(tiny, m[0], out_h=8, out_w=6))
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(got_t[0], ref_t)
+
+
 def test_alignment_matrices_batched_matches_scalar(rng):
     from terran_tpu.ops.warp import alignment_matrices
 

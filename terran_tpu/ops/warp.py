@@ -353,6 +353,69 @@ def warp_affine_u8_batch_numpy(image, matrices, out_h=112, out_w=112):
         return np.rint(out).astype(np.uint8)
 
 
+def warp_affine_u8_batch_cv2(image, matrices, out_h=112, out_w=112):
+    """cv2 backend for the 'host' transfer plan's face warp: OpenCV's
+    SIMD fixed-point bilinear (5-bit weights), within one uint8 count of
+    :func:`warp_affine_u8_batch_numpy` and ~50x faster on a 1-core host
+    (the numpy twin spends ~4.7 ms per 112x112 crop; cv2 ~0.1 ms). Same
+    family of justification as the cv2 host-RESIZE backend: the
+    reference's own host alignment is PIL bilinear
+    (arcface/wrapper.py:58-71), to which the device warp is already
+    <=1-count parity, so 'auto' fidelity is reference-grade, and 'exact'
+    (the numpy twin) remains available for device-twin comparisons.
+
+    Geometry: our matrices map output pixel CENTRES in the
+    half-integer-centre convention (pixel (0,0) spans [0,1], centre 0.5)
+    to raw source coordinates; cv2's WARP_INVERSE_MAP expects
+    integer-centre maps, so the translation column shifts by
+    M @ (0.5, 0.5, 0) - 0.5. BORDER_REPLICATE reproduces the device
+    warp's edge-tap replication; samples whose CENTRE falls outside the
+    frame are zeroed afterwards (the device warp's inside test) — the
+    mask is only computed for faces whose crop-corner preimages leave
+    the frame (the map is affine, so corners bound every sample).
+    Non-finite matrices (collinear-landmark solves) produce zero crops,
+    like the twins' inside-test fill.
+    """
+    import cv2
+
+    image = np.asarray(image)
+    h, w = image.shape[0], image.shape[1]
+    mats = np.asarray(matrices, dtype=np.float32)  # (M, 2, 3)
+    m = mats.shape[0]
+    out = np.zeros((m, out_h, out_w) + image.shape[2:], np.uint8)
+
+    corners = np.array(
+        [[0.5, 0.5], [out_w - 0.5, 0.5],
+         [0.5, out_h - 0.5], [out_w - 0.5, out_h - 0.5]], np.float32
+    )
+    # (M, 4, 2) raw-coordinate preimages of the output corners.
+    pre = np.einsum("pk,mjk->mpj", corners, mats[:, :, :2]) + mats[:, None, :, 2]
+
+    flags = cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP
+    for i in range(m):
+        mat = mats[i]
+        if not np.isfinite(mat).all():
+            continue
+        m_cv = mat.copy()
+        m_cv[:, 2] = 0.5 * (mat[:, 0] + mat[:, 1]) + mat[:, 2] - 0.5
+        out[i] = cv2.warpAffine(
+            image, m_cv, (out_w, out_h), flags=flags,
+            borderMode=cv2.BORDER_REPLICATE,
+        )
+        pi = pre[i]
+        if not ((pi[:, 0] >= 0).all() and (pi[:, 0] < w).all()
+                and (pi[:, 1] >= 0).all() and (pi[:, 1] < h).all()):
+            ys = np.arange(out_h, dtype=np.float32) + 0.5
+            xs = np.arange(out_w, dtype=np.float32) + 0.5
+            xg, yg = np.meshgrid(xs, ys)
+            raw_x = mat[0, 0] * xg + mat[0, 1] * yg + mat[0, 2]
+            raw_y = mat[1, 0] * xg + mat[1, 1] * yg + mat[1, 2]
+            inside = ((raw_x >= 0) & (raw_x < w)
+                      & (raw_y >= 0) & (raw_y < h))
+            out[i] = np.where(inside[..., None], out[i], 0)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w",
                                              "frame_h", "frame_w"))
 def warp_affine_windowed(window, matrix, origin, frame_h, frame_w,

@@ -1512,6 +1512,29 @@ class PerceptionPipeline:
             emb.copy_to_host_async()
         return emb
 
+    def _host_warp_fn(self):
+        """Host face-warp backend, governed by the same fidelity knob as
+        the host resize (``self.host_resize``): 'auto'/'cv2' prefer
+        OpenCV's fixed-point bilinear (the reference-family host
+        arithmetic, within one uint8 count — ops/warp.py
+        ``warp_affine_u8_batch_cv2``), 'exact' forces the numpy twin of
+        the device warp."""
+        fn = getattr(self, "_host_warp", None)
+        if fn is None:
+            fn = warp_affine_u8_batch_numpy
+            if self.host_resize in ("auto", "cv2"):
+                try:
+                    import cv2  # noqa: F401
+
+                    from terran_tpu.ops.warp import warp_affine_u8_batch_cv2
+
+                    fn = warp_affine_u8_batch_cv2
+                except ImportError:
+                    if self.host_resize == "cv2":
+                        raise
+            self._host_warp = fn
+        return fn
+
     def _embed_pool(self):
         """Single-thread executor for the 'host' plan's embed jobs: one
         worker keeps the relay's dispatch order deterministic while the
@@ -1530,8 +1553,9 @@ class PerceptionPipeline:
     def _dispatch_adaptive_embed_host(self, out, frames, full_shape, n,
                                       stage=None):
         """'host' transfer plan variant of :meth:`_dispatch_adaptive_embed`:
-        faces are aligned ON THE HOST (``ops.warp.warp_affine_u8_batch_numpy``,
-        the device warp's arithmetic twin — within one rounded count) and
+        faces are aligned ON THE HOST (:meth:`_host_warp_fn`: cv2's
+        fixed-point bilinear under 'auto', or the device warp's numpy
+        twin under 'exact' — both within one rounded count) and
         only the (k, 112, 112) uint8 crops cross the link: ~37 KB per face
         slot against the device plan's 6 MB full frames — r3's window
         upload ((b, k, ws, ws) pixel windows) cost 12-50 MB per batch at
@@ -1556,12 +1580,13 @@ class PerceptionPipeline:
             return None
         packed, k, _ws, _group = plan
         mask = packed[..., 6] > 0.5
+        warp = self._host_warp_fn()
         with stage("embed_host_warp", items=int(mask.sum())):
             crops = np.zeros((b, k, 112, 112, frames.shape[3]), np.uint8)
             for i in range(b):
                 js = np.flatnonzero(mask[i])
                 if js.size:
-                    crops[i, js] = warp_affine_u8_batch_numpy(
+                    crops[i, js] = warp(
                         frames[i], packed[i, js, :6].reshape(-1, 2, 3)
                     )
         with stage("embed_dispatch", items=n,

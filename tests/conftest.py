@@ -27,6 +27,22 @@ import jax
 # must go through the config instead.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the CPU test suite: the pipeline/
+# mesh/stream tests compile multi-minute programs that are identical run
+# to run, and runtime.enable_compilation_cache() keeps itself OFF whenever
+# PALLAS_AXON_REMOTE_COMPILE=1 (the axon relay deadlocks serialising large
+# TPU executables) — a guard that doesn't apply to these CPU-forced tests.
+# First run pays the compiles and populates the cache; repeat runs load
+# executables in ~1 s each. Disable with TERRAN_TPU_COMPILATION_CACHE=0.
+if os.environ.get("TERRAN_TPU_COMPILATION_CACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "TERRAN_TPU_TEST_CACHE_DIR",
+        os.path.expanduser("~/.cache/terran-tpu/xla-cpu-tests"),
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

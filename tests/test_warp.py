@@ -176,6 +176,56 @@ def test_host_warp_numpy_bitwise_matches_device(rng):
     np.testing.assert_array_equal(got_t[0], ref_t)
 
 
+def test_host_warp_cv2_matches_numpy_twin(rng):
+    """The cv2 host-warp backend ('auto'/'cv2' fidelity) must sit within
+    one uint8 count of the numpy device-twin on interior pixels, zero the
+    same outside-frame samples, and zero crops for non-finite matrices.
+    cv2's 5-bit fixed-point tap weights give the one-count slack; the
+    inside mask is exact (same affine arithmetic)."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    del cv2
+    from terran_tpu.ops.warp import (
+        warp_affine_u8_batch_cv2, warp_affine_u8_batch_numpy,
+    )
+
+    image = rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+    cases = [
+        (0.5, 0.3, 40.0, 30.0),    # interior
+        (1.2, -0.8, 1.0, 1.0),     # near top-left (edge replication)
+        (0.7, 0.1, 140.0, 100.0),  # spills past right/bottom (fill)
+        (1.0, 2.0, -20.0, -10.0),  # partially outside
+    ]
+    mats = np.stack([
+        np.linalg.inv(make_similarity(*c))[:2].astype(np.float32)
+        for c in cases
+    ])
+    via_cv2 = warp_affine_u8_batch_cv2(image, mats, out_h=56, out_w=48)
+    via_np = warp_affine_u8_batch_numpy(image, mats, out_h=56, out_w=48)
+    diff = np.abs(via_cv2.astype(int) - via_np.astype(int))
+    assert diff.max() <= 1
+    # Outside-frame fill agrees exactly: recompute the inside test (the
+    # same affine arithmetic both backends use) and assert both zero it.
+    ys = np.arange(56, dtype=np.float32) + 0.5
+    xs = np.arange(48, dtype=np.float32) + 0.5
+    xg, yg = np.meshgrid(xs, ys)
+    for m, c2, np_ in zip(mats, via_cv2, via_np):
+        raw_x = m[0, 0] * xg + m[0, 1] * yg + m[0, 2]
+        raw_y = m[1, 0] * xg + m[1, 1] * yg + m[1, 2]
+        outside = ~((raw_x >= 0) & (raw_x < 160)
+                    & (raw_y >= 0) & (raw_y < 120))
+        assert (c2[outside] == 0).all()
+        assert (np_[outside] == 0).all()
+    assert any(
+        (~((m[0, 0] * xg + m[0, 1] * yg + m[0, 2]) < 160)).any()
+        for m in mats
+    )  # at least one case actually exercises the fill path
+
+    bad = np.full((1, 2, 3), np.nan, np.float32)
+    assert (warp_affine_u8_batch_cv2(image, bad) == 0).all()
+
+
 def test_alignment_matrices_batched_matches_scalar(rng):
     from terran_tpu.ops.warp import alignment_matrices
 

@@ -194,13 +194,22 @@ def test_host_warp_cv2_matches_numpy_twin(rng):
     cases = [
         (0.5, 0.3, 40.0, 30.0),    # interior
         (1.2, -0.8, 1.0, 1.0),     # near top-left (edge replication)
-        (0.7, 0.1, 140.0, 100.0),  # spills past right/bottom (fill)
-        (1.0, 2.0, -20.0, -10.0),  # partially outside
+        (0.7, 0.1, 140.0, 100.0),  # preimage ENTIRELY outside: all-fill crop
+        (1.0, 2.0, 30.0, 40.0),    # partially outside (left/top exits)
     ]
-    mats = np.stack([
+    mats = [
         np.linalg.inv(make_similarity(*c))[:2].astype(np.float32)
         for c in cases
-    ])
+    ]
+    # The inverted similarities above all exit the frame through the
+    # left/top edges; build the output->source map DIRECTLY so its
+    # preimage genuinely crosses x >= W AND y >= H, exercising the
+    # right/bottom fill masking of warp_affine_u8_batch_cv2 (which cv2
+    # itself would edge-replicate without the explicit outside mask).
+    right_bottom = np.array([[1.0, 0.0, 130.0],
+                             [0.0, 1.0, 95.0]], np.float32)
+    mats.append(right_bottom)   # raw_x in [130.5, 177.5], raw_y in [95.5, 150.5]
+    mats = np.stack(mats)
     via_cv2 = warp_affine_u8_batch_cv2(image, mats, out_h=56, out_w=48)
     via_np = warp_affine_u8_batch_numpy(image, mats, out_h=56, out_w=48)
     diff = np.abs(via_cv2.astype(int) - via_np.astype(int))
@@ -217,10 +226,26 @@ def test_host_warp_cv2_matches_numpy_twin(rng):
                     & (raw_y >= 0) & (raw_y < 120))
         assert (c2[outside] == 0).all()
         assert (np_[outside] == 0).all()
-    assert any(
-        (~((m[0, 0] * xg + m[0, 1] * yg + m[0, 2]) < 160)).any()
-        for m in mats
-    )  # at least one case actually exercises the fill path
+
+    # Vacuousness guard: every frame edge must actually be crossed by some
+    # case, so the fill masking is exercised on all four sides (the r4
+    # guard checked only raw_x >= W — which no case hit — and shipped red).
+    def _preimage(m):
+        return (m[0, 0] * xg + m[0, 1] * yg + m[0, 2],
+                m[1, 0] * xg + m[1, 1] * yg + m[1, 2])
+    pre = [_preimage(m) for m in mats]
+    assert any((rx >= 160).any() for rx, _ in pre), "no case exits right"
+    assert any((ry >= 120).any() for _, ry in pre), "no case exits bottom"
+    assert any((rx < 0).any() for rx, _ in pre), "no case exits left"
+    assert any((ry < 0).any() for _, ry in pre), "no case exits top"
+    # And most cases must keep SOME interior pixels, so the <=1-count
+    # agreement assertion above isn't comparing all-zero crops (case #2's
+    # preimage is deliberately fully outside: it pins the all-fill crop).
+    n_interior = sum(
+        bool(((rx >= 0) & (rx < 160) & (ry >= 0) & (ry < 120)).any())
+        for rx, ry in pre
+    )
+    assert n_interior >= len(mats) - 1
 
     bad = np.full((1, 2, 3), np.nan, np.float32)
     assert (warp_affine_u8_batch_cv2(image, bad) == 0).all()
@@ -269,10 +294,16 @@ def test_grouped_warp_bit_identical(rng):
     corners = np.array([[0.5, 0.5], [111.5, 0.5],
                         [0.5, 111.5], [111.5, 111.5]])
 
+    from terran_tpu.ops.warp import WARP_CONFIGS
+
     checked = {g: 0 for g in WARP_GROUPS}
-    for trial in range(90):
+    checked_cfg = {cfg: 0 for cfg in WARP_CONFIGS}
+    for trial in range(110):
+        # Rotations past +-14 deg are exactly what the taller-slab
+        # ladder entries (8,(4,7)) / (4,(4,6)) exist for — sample wide
+        # enough that each config gets eligible-only-at-that-slab cases.
         s = rng.uniform(0.25, 1.3)
-        th = rng.uniform(-0.25, 0.25)
+        th = rng.uniform(-0.45, 0.45)
         # Mix interior faces with corner-overlapping ones.
         if trial % 3 == 0:
             cx, cy = rng.uniform(-20, 40), rng.uniform(-20, 40)
@@ -289,8 +320,10 @@ def test_grouped_warp_bit_identical(rng):
         oy = int(np.clip(lo[1], 0, H - WS))
         ox = int(np.clip(lo[0], 0, W - WS))
         ref = None
-        for group in WARP_GROUPS:
-            if not grouped_warp_eligible(m[None], group=group)[0]:
+        for group, slab in WARP_CONFIGS:
+            if not grouped_warp_eligible(
+                m[None], group=group, slab_h=slab[0], slab_w=slab[1]
+            )[0]:
                 continue
             if ref is None:
                 ref = np.asarray(
@@ -299,10 +332,13 @@ def test_grouped_warp_bit_identical(rng):
             got = np.asarray(warp_affine_windowed_grouped(
                 jnp.asarray(frame[oy:oy + WS, ox:ox + WS]),
                 jnp.asarray(m), jnp.asarray([oy, ox]), H, W, group=group,
+                slab=slab,
             ))
             np.testing.assert_array_equal(got, ref)
             checked[group] += 1
+            checked_cfg[(group, slab)] += 1
     assert all(c >= 10 for c in checked.values()), checked
+    assert all(c >= 10 for c in checked_cfg.values()), checked_cfg
 
 
 def test_best_warp_group_picks_largest_eligible():
@@ -322,6 +358,30 @@ def test_best_warp_group_picks_largest_eligible():
     assert best_warp_group(tilted) == 4
     # All-or-nothing over the batch: one large face demotes the group.
     assert best_warp_group(np.concatenate([small, large])) == 4
+
+
+def test_best_warp_config_ladder():
+    from terran_tpu.ops.warp import best_warp_config
+
+    small = np.array([[[0.571, 0, 0], [0, 0.571, 0]]])    # 64 px face
+    # y-drift in (1/7, 2/7]: fails (8,(3,7)), passes the taller (4,7)
+    # slab — the rotation outlier the r4 all-or-nothing dispatch demoted
+    # a whole batch to G=4 for (BASELINE.md "49/64 G=8-eligible").
+    tilted = np.array([[[0.55, 0, 0], [0.16, 0.55, 0]]])
+    large = np.array([[[1.2, 0, 0], [0, 1.2, 0]]])        # <= 4/3, > 5/7
+    # Large AND rotated: only (4,(4,6)) admits it.
+    large_tilted = np.array([[[1.2, 0, 0], [0.5, 1.2, 0]]])
+    huge = np.array([[[1.4, 0, 0], [0, 1.4, 0]]])         # ineligible
+    assert best_warp_config(small) == (8, (3, 7))
+    assert best_warp_config(tilted) == (8, (4, 7))
+    assert best_warp_config(large) == (4, (3, 6))
+    assert best_warp_config(large_tilted) == (4, (4, 6))
+    assert best_warp_config(huge) is None
+    # All-or-nothing over the batch, like the window bucket: one
+    # rotation outlier moves the whole batch to the taller slab (NOT
+    # down to G=4 — the ladder's point), one huge face to None.
+    assert best_warp_config(np.concatenate([small, tilted])) == (8, (4, 7))
+    assert best_warp_config(np.concatenate([small, huge])) is None
 
 
 def test_grouped_warp_eligibility_bounds():

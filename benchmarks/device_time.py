@@ -203,7 +203,7 @@ def main():
         # gather geometry.
         import jax.numpy as jnp
 
-        from terran_tpu.ops.warp import best_warp_group
+        from terran_tpu.ops.warp import best_warp_config
 
         ws = next((w for w in pipeline.embed_windows
                    if w <= min(height, width)), None)
@@ -212,15 +212,16 @@ def main():
                 batch, pipeline.max_faces, height, width, window=ws
             ))
             # Mirror the pipeline's dispatch (pipeline.py
-            # _dispatch_adaptive_embed): the largest eligible slab group
-            # — which is what production would run on this plan.
+            # _dispatch_adaptive_embed): the best WARP_CONFIGS ladder
+            # entry — which is what production would run on this plan.
             mats = np.asarray(packed[..., :6]).reshape(-1, 2, 3)
-            group = best_warp_group(mats)
+            cfg = best_warp_config(mats)
+            group, slab = cfg if cfg is not None else (None, None)
             we = pipeline._warp_embed_window_fn(
-                pipeline.max_faces, ws, fd.shape, group=group
+                pipeline.max_faces, ws, fd.shape, group=group, slab=slab
             )
-            print(f"# embed program: window={ws} group={group}",
-                  file=_sys.stderr, flush=True)
+            print(f"# embed program: window={ws} group={group} "
+                  f"slab={slab}", file=_sys.stderr, flush=True)
         else:
             packed = jnp.asarray(synthetic_embed_packed(
                 batch, pipeline.max_faces, height, width

@@ -459,10 +459,26 @@ SLAB_W = 6
 # small, so most batches take G=8 at HALF the descriptors of G=4.
 GROUP_SLABS = {8: (3, 7), 4: (3, 6)}
 WARP_GROUPS = tuple(sorted(GROUP_SLABS, reverse=True))
+# Dispatch ladder, best first: each entry is (group, (slab_h, slab_w)).
+# The taller (4, 7) G=8 slab rescues ROTATION outliers — |m10| <= 2/7
+# (~+-24 degrees at 64 px) instead of (3, 7)'s 1/7 — at ~2.2 ms over the
+# (3, 7) program for a full-occupancy 64-crop batch (measured 21.7 vs
+# 19.5) but ~1 ms UNDER the G=4 all-or-nothing fallback those batches
+# previously took (22.6; BASELINE.md's "49/64 G=8-eligible" batch).
+# Splitting such batches across two dispatches instead was measured and
+# rejected: invalid slots still pay the full ArcFace forward
+# (~0.21 ms/slot vs the ~0.045 ms/crop G=8-vs-G=4 gather saving), so
+# bucket rounding of the second cohort always outweighs the win — see
+# docs/architecture.md. The (4, 6) G=4 tail keeps large rotated faces
+# (|m00| <= 4/3, |m10| <= 2/3) off the per-pixel fallback entirely.
+WARP_CONFIGS = ((8, (3, 7)), (8, (4, 7)), (4, (3, 6)), (4, (4, 6)))
 # Window margin that guarantees the slab fit-clip is a no-op for inside
-# pixels, whichever group the dispatcher picks (see
-# pipeline._dispatch_adaptive_embed).
-SLAB_MARGIN = max(w for _, w in GROUP_SLABS.values()) - 2
+# pixels, whichever config the dispatcher picks (see
+# pipeline._dispatch_adaptive_embed): covers the widest slab axis of
+# every ladder entry.
+SLAB_MARGIN = max(
+    max(s for s in slab) for _, slab in WARP_CONFIGS
+) - 2
 
 
 def grouped_warp_eligible(matrices, group=GROUP, slab_h=None, slab_w=None):
@@ -479,12 +495,26 @@ def grouped_warp_eligible(matrices, group=GROUP, slab_h=None, slab_w=None):
 
 def best_warp_group(matrices):
     """Largest group size in :data:`WARP_GROUPS` for which EVERY matrix
-    passes :func:`grouped_warp_eligible`, or None (per-pixel fallback).
-    The dispatcher compiles one program per (bucket, window, group), so
-    the choice is all-or-nothing per batch, like the window bucket."""
+    passes :func:`grouped_warp_eligible` at its DEFAULT slab, or None
+    (per-pixel fallback). Kept for profiling; the dispatcher uses
+    :func:`best_warp_config`, whose ladder also tries taller slabs."""
     for g in WARP_GROUPS:
         if bool(grouped_warp_eligible(matrices, group=g).all()):
             return g
+    return None
+
+
+def best_warp_config(matrices):
+    """First :data:`WARP_CONFIGS` ladder entry whose (group, slab) admits
+    EVERY matrix, as ``(group, (slab_h, slab_w))``, else None (per-pixel
+    fallback). The dispatcher compiles one program per (bucket, window,
+    group, slab), so the choice is all-or-nothing per batch, like the
+    window bucket — the ladder's taller-slab entries are what keep mixed
+    small/rotated batches on a grouped program (see WARP_CONFIGS)."""
+    for g, (sh, sw) in WARP_CONFIGS:
+        ok = grouped_warp_eligible(matrices, group=g, slab_h=sh, slab_w=sw)
+        if bool(ok.all()):
+            return g, (sh, sw)
     return None
 
 

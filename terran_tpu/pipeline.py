@@ -61,8 +61,8 @@ from terran_tpu.ops.pose_decode import (
 )
 from terran_tpu.ops.upsample import upsample_bicubic
 from terran_tpu.ops.warp import (
-    SLAB_MARGIN, WARP_GROUPS, alignment_matrices, alignment_matrices_jax,
-    best_warp_group, warp_affine_batch, warp_affine_u8_batch_numpy,
+    SLAB_MARGIN, WARP_CONFIGS, alignment_matrices, alignment_matrices_jax,
+    best_warp_config, warp_affine_batch, warp_affine_u8_batch_numpy,
     warp_affine_windowed, warp_affine_windowed_grouped,
 )
 from terran_tpu.parallel.mesh import (
@@ -154,6 +154,12 @@ class PerceptionPipeline:
             else max_escalations
         )
         self.escalations = {"detect": 0, "pose": 0, "embed": 0}
+        # Cumulative host->device upload bytes (every put_frames /
+        # _put_batch call). bench.py reads it around a sweep to compute
+        # the transfer plan's MEASURED byte floor — the binding ceiling
+        # for link-bound hosts, which the raw-frame link_ceiling_fps
+        # cannot express under the 'host' plan.
+        self.upload_bytes = 0
 
         dtype = compute_dtype or default_policy().compute_dtype
         self.det_model = RetinaFace(compute_dtype=dtype)
@@ -284,6 +290,10 @@ class PerceptionPipeline:
                 f"host_resize must be 'auto', 'exact', or 'cv2', got "
                 f"{self.host_resize!r}"
             )
+        if self.host_resize == "cv2":
+            # Surface a missing OpenCV at construction, not at the first
+            # batch's future.result() deep inside the embed worker thread.
+            import cv2  # noqa: F401
         if self.transfer_plan == "host":
             if self.with_embeddings and self.embed_dispatch != "adaptive":
                 raise ValueError(
@@ -515,17 +525,14 @@ class PerceptionPipeline:
         operand-proportional cost — see ops/warp.py). The plan is one
         (B, k, 9) upload: 6 matrix entries + validity + window (y, x).
 
-        With ``group`` (8/4), the warp fetches one slab (the group's
-        ``ops.warp.GROUP_SLABS`` geometry; ``slab`` overrides it for
-        profiling) per ``group`` output pixels instead of one (2, 2, C)
-        patch per pixel — ``group``x fewer gather descriptors,
-        bit-identical for matrices passing
-        ``ops.warp.grouped_warp_eligible`` at that group (the dispatcher
-        picks the largest eligible size via ``ops.warp.best_warp_group``).
-
+        With ``group`` (8/4), the warp fetches one slab (``slab``; the
+        group's ``ops.warp.GROUP_SLABS`` geometry when None) per
+        ``group`` output pixels instead of one (2, 2, C) patch per pixel
+        — ``group``x fewer gather descriptors, bit-identical for
+        matrices passing ``ops.warp.grouped_warp_eligible`` at that
+        (group, slab) (the dispatcher walks the ``ops.warp.WARP_CONFIGS``
+        ladder via ``best_warp_config``).
         """
-        # Production keys stay (k, ws, group, b, h, w, c); a profiling
-        # slab override gets its own, longer key.
         key = ((k_slots, ws, group) + (() if slab is None else (slab,))
                + tuple(frames_shape))
         if key in self._warp_embed_fns:
@@ -829,12 +836,14 @@ class PerceptionPipeline:
                 for ws in [w for w in self.embed_windows
                            if w <= min(height, width)]:
                     # Warm the per-pixel fallback plus every dispatchable
-                    # group size (8 for faces <= ~80 px, 4 up to ~1.33x
-                    # source scale).
-                    for group in WARP_GROUPS + (None,):
+                    # ladder config (ops.warp.WARP_CONFIGS: G=8 for
+                    # small/rotated faces, G=4 up to ~1.33x source
+                    # scale).
+                    for group, slab in WARP_CONFIGS + ((None, None),):
                         run(
                             self._warp_embed_window_fn(
-                                k, ws, frames_shape, group=group
+                                k, ws, frames_shape, group=group,
+                                slab=slab,
                             ),
                             self.rec_params, frames,
                             self._put_batch(
@@ -882,15 +891,17 @@ class PerceptionPipeline:
         mesh). Accepts arrays already on device unchanged."""
         if not isinstance(frames, np.ndarray):
             return frames  # already a device array
+        self.upload_bytes += frames.nbytes
         if self.mesh is not None:
             return jax.device_put(frames, batch_sharding(self.mesh))
         return jax.device_put(frames)
 
     def _put_batch(self, array):
         """Upload a host-built plan array, batch-sharded under a mesh."""
+        array = np.asarray(array)
+        self.upload_bytes += array.nbytes
         if self.mesh is not None:
-            return jax.device_put(np.asarray(array),
-                                  batch_sharding(self.mesh))
+            return jax.device_put(array, batch_sharding(self.mesh))
         return jnp.asarray(array)
 
     def _host_resize(self, frames, out_h, out_w):
@@ -1053,6 +1064,15 @@ class PerceptionPipeline:
 
         Returns (out dict of in-flight device arrays, pose tuple or None,
         n, pose_scale).
+
+        Contract under ``transfer_plan='host'``: the caller's ``frames``
+        array stays host-resident and is read AGAIN — possibly from the
+        embed worker thread, after this call returns — when
+        finalize_batch slices the per-face crops. Frames must therefore
+        remain valid (not reused/overwritten by the source) until the
+        batch's results are collected; every reader in ``terran_tpu.io``
+        yields freshly-allocated batches, but a custom source that
+        recycles frame buffers must copy before dispatching.
         """
         bid = self._batch_seq
         self._batch_seq += 1
@@ -1407,12 +1427,19 @@ class PerceptionPipeline:
             limbs.copy_to_host_async()
         return kb, limbs
 
-    def _plan_adaptive_embed(self, out, b, fh, fw):
+    def _plan_adaptive_embed(self, out, b, fh, fw, windows=True):
         """Shared planning for the bucketed warp+embed program: bucket
         selection, host Umeyama, the packed (b, k, 9) plan, and the
         window/group choice. Returns None when no faces were found, else
         (packed, k, ws, group) where ws is None for the full-frame
         fallback and group is None for the per-pixel windowed program.
+
+        ``windows=False`` (the 'host' transfer plan, which warps on the
+        host and never runs a windowed device gather) stops after the
+        packed matrices: the source-extent, ``best_warp_config``, and
+        window-bucket searches are device-plan work the host path would
+        discard — per-batch host CPU the 1-core hosts that plan targets
+        cannot spare. Columns 7:9 stay zero and ws/group return None.
         """
         # Slots are positional (NMS suppression leaves holes in the mask),
         # so the bucket must cover the highest OCCUPIED slot, not the count.
@@ -1447,6 +1474,8 @@ class PerceptionPipeline:
         )  # one batched solve: a per-face loop costs ~1 ms/face on host
         packed[idx[:, 0], idx[:, 1], :6] = mats.reshape(len(idx), 6)
         packed[idx[:, 0], idx[:, 1], 6] = 1.0
+        if not windows:
+            return packed, k, None, None
         src = (
             np.einsum("pk,mjk->mpj", corners, mats[:, :, :2])
             + mats[:, None, :, 2]
@@ -1457,16 +1486,16 @@ class PerceptionPipeline:
         max_extent = float(
             (src.max(axis=1) - src.min(axis=1)).max()
         ) + 6
-        # Grouped-slab warp (group-x fewer gather descriptors; the
-        # largest group size whose slab admits every face's span bound)
-        # when a window with the slab's extra margin exists;
-        # bit-identical (ops/warp.py).
-        group = best_warp_group(mats)
+        # Grouped-slab warp (group-x fewer gather descriptors; the best
+        # WARP_CONFIGS ladder entry — group and slab — admitting every
+        # face's span bound) when a window with the slab's extra margin
+        # exists; bit-identical (ops/warp.py).
+        cfg = best_warp_config(mats)
         ws_grouped = next(
             (w for w in self.embed_windows
              if w >= max_extent + SLAB_MARGIN and w <= min(fh, fw)),
             None,
-        ) if group is not None else None
+        ) if cfg is not None else None
         ws = ws_grouped if ws_grouped is not None else next(
             (w for w in self.embed_windows
              if w >= max_extent and w <= min(fh, fw)),
@@ -1475,7 +1504,7 @@ class PerceptionPipeline:
         if ws is not None:
             packed[..., 7] = np.clip(packed[..., 7], 0, fh - ws)
             packed[..., 8] = np.clip(packed[..., 8], 0, fw - ws)
-        return packed, k, ws, (group if ws_grouped is not None else None)
+        return packed, k, ws, (cfg if ws_grouped is not None else None)
 
     def _dispatch_adaptive_embed(self, out, frames_dev, n):
         """Plan and enqueue the bucketed warp+embed program.
@@ -1498,14 +1527,15 @@ class PerceptionPipeline:
         plan = self._plan_adaptive_embed(out, b, fh, fw)
         if plan is None:
             return None
-        packed, k, ws, group = plan
+        packed, k, ws, cfg = plan
         if ws is None:
             fn = self._warp_embed_fn(k, frames_dev.shape)
             emb = fn(self.rec_params, frames_dev,
                      self._put_batch(packed[..., :7]))
         else:
+            group, slab = cfg if cfg is not None else (None, None)
             fn = self._warp_embed_window_fn(
-                k, ws, frames_dev.shape, group=group,
+                k, ws, frames_dev.shape, group=group, slab=slab,
             )
             emb = fn(self.rec_params, frames_dev, self._put_batch(packed))
         if hasattr(emb, "copy_to_host_async"):
@@ -1539,16 +1569,45 @@ class PerceptionPipeline:
         """Single-thread executor for the 'host' plan's embed jobs: one
         worker keeps the relay's dispatch order deterministic while the
         host warp + crop upload overlap the main loop (JAX dispatch is
-        thread-safe; the frame uploader threads already coexist)."""
+        thread-safe; the frame uploader threads already coexist).
+        Reclaimed by :meth:`close` (or, failing that, when the pipeline
+        is garbage-collected — the ``weakref.finalize`` below — so a
+        dropped pipeline doesn't pin a non-daemon thread for the
+        process lifetime)."""
         pool = getattr(self, "_embed_pool_obj", None)
         if pool is None:
+            import weakref
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="terran-tpu-embed"
             )
             self._embed_pool_obj = pool
+            self._embed_pool_finalizer = weakref.finalize(
+                self, pool.shutdown, wait=False
+            )
         return pool
+
+    def close(self):
+        """Release host-side resources (currently the 'host' plan's
+        embed worker thread). Idempotent; the pipeline remains usable
+        afterwards — a later batch just starts a fresh worker. Also runs
+        automatically on garbage collection and via the context-manager
+        protocol."""
+        pool = getattr(self, "_embed_pool_obj", None)
+        if pool is not None:
+            self._embed_pool_obj = None
+            fin = getattr(self, "_embed_pool_finalizer", None)
+            if fin is not None:
+                fin.detach()
+            pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def _dispatch_adaptive_embed_host(self, out, frames, full_shape, n,
                                       stage=None):
@@ -1575,10 +1634,10 @@ class PerceptionPipeline:
         frames = np.asarray(frames)
         b = frames.shape[0]
         fh, fw = full_shape
-        plan = self._plan_adaptive_embed(out, b, fh, fw)
+        plan = self._plan_adaptive_embed(out, b, fh, fw, windows=False)
         if plan is None:
             return None
-        packed, k, _ws, _group = plan
+        packed, k, _, _ = plan
         mask = packed[..., 6] > 0.5
         warp = self._host_warp_fn()
         with stage("embed_host_warp", items=int(mask.sum())):

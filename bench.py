@@ -203,16 +203,17 @@ def measure_device_only(pipeline, frames, iters):
                     window=ws,
                 ))
                 # Measure the program the dispatcher would pick for these
-                # matrices: the largest eligible slab group (the
+                # matrices: the best WARP_CONFIGS ladder entry (the
                 # synthetic faces are small-ish and mostly upright, like
                 # typical content).
-                from terran_tpu.ops.warp import best_warp_group
+                from terran_tpu.ops.warp import best_warp_config
 
                 mats = np.asarray(packed[..., :6]).reshape(-1, 2, 3)
-                group = best_warp_group(mats)
+                cfg = best_warp_config(mats)
+                group, slab = cfg if cfg is not None else (None, None)
                 we = pipeline._warp_embed_window_fn(
                     pipeline.max_faces, ws, frames_dev.shape,
-                    group=group,
+                    group=group, slab=slab,
                 )
             else:
                 packed = jnp.asarray(synthetic_embed_packed(
@@ -230,7 +231,7 @@ def measure_device_only(pipeline, frames, iters):
             packed_t = packed[:, :k_typ]
             if ws is not None:
                 we_t = pipeline._warp_embed_window_fn(
-                    k_typ, ws, frames_dev.shape, group=group
+                    k_typ, ws, frames_dev.shape, group=group, slab=slab
                 )
             else:
                 we_t = pipeline._warp_embed_fn(k_typ, frames_dev.shape)
@@ -462,6 +463,7 @@ def main():
     timer.reset()
     sweeps = []
     timeline_rows = timeline_gaps = None
+    dev_bytes0 = pipeline.upload_bytes
     for s in range(5):
         if s == 4 and os.environ.get("BENCH_TIMELINE", "1") != "0":
             # Instrument the last sweep with the per-batch timeline:
@@ -486,6 +488,9 @@ def main():
             )[:12]
             pipeline.timeline = None
     fps = statistics.median(sweeps)
+    device_bytes_per_frame = (pipeline.upload_bytes - dev_bytes0) / (
+        5 * num_batches * batch_size
+    )
 
     # The 'host' transfer plan uploads the detect/pose resizes and the
     # per-face embed windows instead of the raw frames (~2.5x fewer
@@ -497,6 +502,7 @@ def main():
     host_sweeps = []
     host_plan_error = None
     host_timeline_rows = None
+    host_bytes_per_frame = None
     if os.environ.get("BENCH_HOST_PLAN", "1") != "0":
         # Guarded: a host-plan failure must not abort the benchmark
         # after the device-plan sweeps already spent their relay time —
@@ -520,6 +526,7 @@ def main():
             for _ in pipeline_host.process_stream(batches[:2], depth=depth):
                 pass
             _progress("host-plan warmup done")
+            host_bytes0 = pipeline_host.upload_bytes
             for s in range(5):
                 if s == 4 and os.environ.get("BENCH_TIMELINE", "1") != "0":
                     from terran_tpu.utils.profiling import Timeline
@@ -537,6 +544,9 @@ def main():
                 if pipeline_host.timeline is not None:
                     host_timeline_rows = pipeline_host.timeline.rows()
                     pipeline_host.timeline = None
+            host_bytes_per_frame = (
+                pipeline_host.upload_bytes - host_bytes0
+            ) / (5 * num_batches * batch_size)
         except Exception as exc:  # noqa: BLE001
             host_sweeps = []
             host_plan_error = f"{type(exc).__name__}: {exc}"
@@ -592,12 +602,26 @@ def main():
         ),
         "h2d_gbps": round(h2d_gbps, 4),
         "roundtrip_ms": round(roundtrip_ms, 2),
-        # What the measured link alone permits at this frame size: the
-        # end-to-end value is bounded by min(link_ceiling, device rate) —
-        # records which regime this run was in.
+        # What the measured link alone permits at this frame size under
+        # the raw-frame 'device' plan: the end-to-end value is bounded by
+        # min(link_ceiling, device rate) — records which regime this run
+        # was in.
         "link_ceiling_fps": round(
             h2d_gbps * 1e9 / (height * width * 3), 2
         ),
+        # The 'host' plan's binding ceiling is its own MEASURED byte
+        # floor (resizes + crops actually uploaded during the timed
+        # sweeps), not the raw frame size — host_plan_sweeps' median
+        # over host_plan_ceiling_fps is the plan's link-capture
+        # fraction (r4: ~94%, but only derivable; now stated).
+        "host_plan_bytes_per_frame": (
+            round(host_bytes_per_frame) if host_bytes_per_frame else None
+        ),
+        "host_plan_ceiling_fps": (
+            round(h2d_gbps * 1e9 / host_bytes_per_frame, 2)
+            if host_bytes_per_frame else None
+        ),
+        "device_plan_bytes_per_frame": round(device_bytes_per_frame),
         "device_stage_ms": device_stage_ms,
         # How often overflow escalation (re-dispatch at doubled capacity)
         # fired across the timed sweeps; nonzero means the capacities
@@ -608,14 +632,11 @@ def main():
             name: info["mean_ms"]
             for name, info in timer.summary().items()
         },
-        # Per-batch event timeline of the final sweep: [batch, event,
-        # start_ms, dur_ms, bytes]. 'h2d_thread' spans live on the
-        # uploader thread; everything else is the main loop. 'gaps' are
-        # the largest main-thread idle windows between a batch's
-        # consecutive stages (time spent on OTHER batches or truly idle).
-        "timeline": timeline_rows,
-        "timeline_gaps": timeline_gaps,
-        "timeline_host_plan": host_timeline_rows,
+        # The per-batch timelines (hundreds of rows) live in a sidecar
+        # file — r4's inline rows pushed the JSON line past the driver's
+        # stdout capture and the round's official artifact lost its
+        # headline (`parsed: null`). The final line must stay compact.
+        "timeline_file": None,  # filled below when a timeline ran
         # The wall-clock stage table measures where the HOST waited, not
         # where the device worked: dispatch stages return immediately
         # (async), and the whole batch's device time + relay latency
@@ -623,6 +644,33 @@ def main():
         # adaptive dispatch). Per-program device cost is device_stage_ms.
         "stages_note": "fetch stages absorb device sync; see device_stage_ms",
     }
+    if timeline_rows or host_timeline_rows:
+        # Sidecar: [batch, event, start_ms, dur_ms, bytes] spans
+        # ('h2d_thread' spans live on the uploader thread; everything
+        # else is the main loop) plus the largest main-thread idle gaps.
+        side_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "sessions",
+        )
+        os.makedirs(side_dir, exist_ok=True)
+        side_path = os.path.join(
+            side_dir,
+            time.strftime("timeline-%Y-%m-%d-%H%M%S.json"),
+        )
+        try:
+            with open(side_path, "w") as f:
+                json.dump({
+                    "headline": {k: v for k, v in result.items()
+                                 if k != "timeline_file"},
+                    "timeline": timeline_rows,
+                    "timeline_gaps": timeline_gaps,
+                    "timeline_host_plan": host_timeline_rows,
+                }, f)
+            result["timeline_file"] = os.path.relpath(
+                side_path, os.path.dirname(os.path.abspath(__file__))
+            )
+        except OSError:
+            pass  # read-only checkout: keep the headline line intact
     print(json.dumps(result))
 
 

@@ -331,6 +331,22 @@ def fused_peaks_enabled(setting=None):
     return jax.devices()[0].platform == "tpu"
 
 
+def auto_plane_block(band_rows):
+    """Largest plane block fitting the 16M v5e scoped-vmem budget, from
+    PADDED tile dims: lanes pad to 128 whatever the field width is and
+    sublanes to 8, so dividing by the raw w (the r4 formula) over-sized
+    the block ~3x on tiny fields — a (36, 14, 14) heat picked pb=13 and
+    OOMed scoped vmem at 42M on the chip (the CPU interpreter the tests
+    run never enforces the limit). Probed live set on v5e: 266 f32
+    values per padded (sublane x lane) unit of the (band_rows + 2)-row
+    slab, at BOTH (14, 14)/band 16 (3.27M per plane, pb<=4 fits) and
+    (46, 81)/band 32 (5.44M per plane, pb=3 lands 16.32M — just over).
+    280 + a 15.5M budget keeps margin; reproduce with
+    benchmarks/fused_peaks_vmem_probe.py."""
+    slab_sub = -(-(band_rows + 2) // 8) * 8
+    return max(1, 15_500_000 // (280 * slab_sub * 128 * 4))
+
+
 def find_peaks_fused(heatmaps, threshold, max_peaks, factor=8,
                      band_rows=None, plane_block=None, interpret=None):
     """Drop-in fused equivalent of
@@ -357,20 +373,7 @@ def find_peaks_fused(heatmaps, threshold, max_peaks, factor=8,
     if band_rows is None:
         band_rows = min(32, -(-h // 8) * 8)
     if plane_block is None:
-        # Auto-size the block to the 16M v5e scoped-vmem budget using
-        # PADDED tile dims: lanes pad to 128 whatever w is and sublanes
-        # to 8, so dividing by the raw w (the r4 formula) over-sized the
-        # block ~3x on tiny fields — a (36, 14, 14) heat picked pb=13
-        # and OOMed scoped vmem at 42M on the chip (the CPU interpreter
-        # the tests run never enforces the limit). Probed live set on
-        # v5e: 266 f32 values per padded (sublane x lane) unit of the
-        # (band_rows + 2)-row slab, at BOTH (14, 14)/band 16 (3.27M per
-        # plane, pb<=4 fits) and (46, 81)/band 32 (5.44M per plane,
-        # pb=3 lands 16.32M — just over). 280 + a 15.5M budget keeps
-        # margin; reproduce with the probe in the module docstring's
-        # session notes.
-        slab_sub = -(-(band_rows + 2) // 8) * 8
-        plane_block = max(1, 15_500_000 // (280 * slab_sub * 128 * 4))
+        plane_block = auto_plane_block(band_rows)
     planes = jnp.moveaxis(heatmaps, -1, -3).reshape(-1, h, w)
     planes = planes.astype(jnp.float32)
 

@@ -90,6 +90,7 @@ SLOW_FILES = {
     "test_fused_peaks.py": {
         "test_band_rows_alignment_required",
         "test_enabled_resolution",
+        "test_auto_plane_block_fits_probed_vmem_limits",
     },
     "test_reference_crosscheck.py": set(),
     "test_pose_full_parity.py": set(),

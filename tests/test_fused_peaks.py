@@ -107,6 +107,24 @@ def test_enabled_resolution():
     assert fused_peaks_enabled("auto") is False
 
 
+def test_auto_plane_block_fits_probed_vmem_limits():
+    """The plane_block auto-sizer must stay within the scoped-vmem
+    ceilings probed on real v5e hardware (the CPU interpreter never
+    enforces the 16M limit, so an over-sized block only fails on chip —
+    exactly how the r4 formula shipped a (36, 14, 14) OOM). Probed
+    2026-08-20 (benchmarks/fused_peaks_vmem_probe.py): band 16 fits
+    pb<=4 (pb=6 lands 19.3M), band 32 fits pb<=2 (pb=3 lands 16.32M).
+    The known-good OpenPose field config (band 24) must keep pb=3 — the
+    measured 14.7M production block — not regress to a smaller one."""
+    from terran_tpu.ops.fused_peaks import auto_plane_block
+
+    assert 1 <= auto_plane_block(16) <= 4
+    assert 1 <= auto_plane_block(32) <= 2
+    assert auto_plane_block(24) == 3
+    # Degenerate tiny bands still return a sane positive block.
+    assert auto_plane_block(8) >= 1
+
+
 def test_row_piece_tie_plateau_flags_overflow():
     """The per-(cell, ry) top-2 pre-selection can only drop candidates
     when one row piece holds 3+ exact-tie peaks (a flat plateau — within

@@ -454,6 +454,13 @@ def main():
     for _ in pipeline.process_stream(batches[:2], depth=depth):
         pass
     _progress("device-plan warmup done")
+    # Link sample BEFORE the timed sweeps as well as after: the relay's
+    # bandwidth decays over a session (heavy executions slow it), so a
+    # single post-sweep measurement understates the link the sweeps
+    # actually saw — r4's trial had the host plan "beating" a ceiling
+    # computed from the later, slower sample. Ceilings use the mean.
+    h2d_gbps_pre, _ = measure_link(batches[0])
+    _progress(f"link pre-sweep: {h2d_gbps_pre:.4f} GB/s")
 
     # End-to-end sweeps: threaded uploads + depth-deep dispatch overlap
     # h2d of batch i+2 with batch i+1's compute and batch i's downloads.
@@ -563,6 +570,7 @@ def main():
     )
     _progress("link microbenchmark...")
     h2d_gbps, roundtrip_ms = measure_link(batches[0])
+    h2d_mean = (h2d_gbps + h2d_gbps_pre) / 2
 
     baseline = os.environ.get("BENCH_BASELINE_FPS")
     if baseline is not None:
@@ -600,14 +608,17 @@ def main():
             round(achieved_tflops / peak_tflops, 4)
             if achieved_tflops else None
         ),
+        # Two link samples bracket the sweeps (the relay decays over a
+        # session); ceilings use their mean.
         "h2d_gbps": round(h2d_gbps, 4),
+        "h2d_gbps_pre": round(h2d_gbps_pre, 4),
         "roundtrip_ms": round(roundtrip_ms, 2),
         # What the measured link alone permits at this frame size under
         # the raw-frame 'device' plan: the end-to-end value is bounded by
         # min(link_ceiling, device rate) — records which regime this run
         # was in.
         "link_ceiling_fps": round(
-            h2d_gbps * 1e9 / (height * width * 3), 2
+            h2d_mean * 1e9 / (height * width * 3), 2
         ),
         # The 'host' plan's binding ceiling is its own MEASURED byte
         # floor (resizes + crops actually uploaded during the timed
@@ -618,7 +629,7 @@ def main():
             round(host_bytes_per_frame) if host_bytes_per_frame else None
         ),
         "host_plan_ceiling_fps": (
-            round(h2d_gbps * 1e9 / host_bytes_per_frame, 2)
+            round(h2d_mean * 1e9 / host_bytes_per_frame, 2)
             if host_bytes_per_frame else None
         ),
         "device_plan_bytes_per_frame": round(device_bytes_per_frame),

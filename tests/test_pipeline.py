@@ -706,20 +706,25 @@ def test_pipeline_int8_pose(tiny_pipeline_params, rng):
 def test_pipeline_int8_under_mesh(tiny_pipeline_params, rng):
     """int8 param trees (int8 kernels + f32 scales) replicate across the
     mesh like any other pytree; the sharded int8 run must match the
-    single-device int8 run exactly."""
-    frames = rng.integers(0, 255, (8, 96, 128, 3), dtype=np.uint8)
+    single-device int8 run exactly. A 2-device mesh: the replication/
+    batch-sharding composition under test is device-count-independent
+    (every other mesh test runs 8-wide), and the XLA CPU partitioner's
+    compile time on the ~200 int8 convs scales with the partition count
+    — this one test was 2818 s of the suite's 111-minute wall at 8
+    devices (full-suite durations, 2026-08-20)."""
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
     kwargs = dict(embed_precision="int8", pose_precision="int8")
     single = _make_pipeline(
         tiny_pipeline_params, **kwargs
     ).process_batch(frames)
     sharded = _make_pipeline(
-        tiny_pipeline_params, mesh=create_mesh(8), **kwargs
+        tiny_pipeline_params, mesh=create_mesh(2), **kwargs
     ).process_batch(frames)
     np.testing.assert_array_equal(single["boxes"], sharded["boxes"])
     np.testing.assert_allclose(
         single["embeddings"], sharded["embeddings"], atol=2e-4
     )
-    assert len(sharded["poses"]) == 8
+    assert len(sharded["poses"]) == 2
 
 
 def test_host_resize_numpy_fallback(tiny_pipeline_params, rng,

@@ -657,12 +657,12 @@ def test_transfer_plan_host_under_mesh_matches_single_device(pipes, rng):
     )
 
 
-def test_pipeline_int8_embed(tiny_pipeline_params, rng):
+def test_pipeline_int8_embed(pipes, tiny_pipeline_params, rng):
     """embed_precision='int8' (the opt-in quantised ArcFace trunk) must
     leave detection/pose untouched and produce embeddings that track
     the native path closely enough to preserve identity ranking."""
     frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
-    out = _make_pipeline(tiny_pipeline_params).process_batch(frames)
+    out = pipes("default").process_batch(frames)
     out8 = _make_pipeline(
         tiny_pipeline_params, embed_precision="int8"
     ).process_batch(frames)
@@ -680,13 +680,13 @@ def test_pipeline_int8_embed(tiny_pipeline_params, rng):
         _make_pipeline(tiny_pipeline_params, embed_precision="fp8")
 
 
-def test_pipeline_int8_pose(tiny_pipeline_params, rng):
+def test_pipeline_int8_pose(pipes, tiny_pipeline_params, rng):
     """pose_precision='int8' leaves detection/embeddings untouched and
     keeps the pose output contract (peak positions may legitimately
     shift under quantisation; numeric closeness is pinned at the model
     level in test_openpose_int8.py)."""
     frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
-    out = _make_pipeline(tiny_pipeline_params).process_batch(frames)
+    out = pipes("default").process_batch(frames)
     out8 = _make_pipeline(
         tiny_pipeline_params, pose_precision="int8"
     ).process_batch(frames)

@@ -59,6 +59,9 @@ def probe(m, h, w, band_rows=None, blocks=(13, 8, 6, 4, 3, 2, 1)):
 
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:]]
-    m, h, w = (args + [36, 14, 14])[:3] if args else (36, 14, 14)
+    if args and len(args) < 3:
+        sys.exit("usage: fused_peaks_vmem_probe.py [M H W [band_rows]] "
+                 "— give all three of M H W or none")
+    m, h, w = args[:3] if args else (36, 14, 14)
     band = args[3] if len(args) > 3 else None
     probe(m, h, w, band)

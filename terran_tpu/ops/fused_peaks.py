@@ -331,20 +331,28 @@ def fused_peaks_enabled(setting=None):
     return jax.devices()[0].platform == "tpu"
 
 
-def auto_plane_block(band_rows):
+def auto_plane_block(band_rows, w=128):
     """Largest plane block fitting the 16M v5e scoped-vmem budget, from
-    PADDED tile dims: lanes pad to 128 whatever the field width is and
-    sublanes to 8, so dividing by the raw w (the r4 formula) over-sized
-    the block ~3x on tiny fields — a (36, 14, 14) heat picked pb=13 and
-    OOMed scoped vmem at 42M on the chip (the CPU interpreter the tests
-    run never enforces the limit). Probed live set on v5e: 266 f32
-    values per padded (sublane x lane) unit of the (band_rows + 2)-row
-    slab, at BOTH (14, 14)/band 16 (3.27M per plane, pb<=4 fits) and
-    (46, 81)/band 32 (5.44M per plane, pb=3 lands 16.32M — just over).
-    280 + a 15.5M budget keeps margin; reproduce with
-    benchmarks/fused_peaks_vmem_probe.py."""
+    PADDED tile dims: lanes pad to the next 128 multiple whatever the
+    field width is, and sublanes to 8, so dividing by the raw w (the r4
+    formula) over-sized the block ~3x on tiny fields — a (36, 14, 14)
+    heat picked pb=13 and OOMed scoped vmem at 42M on the chip (the CPU
+    interpreter the tests run never enforces the limit). Probed live
+    set on v5e: 266 f32 values per padded (sublane x lane) unit of the
+    (band_rows + 2)-row slab, at BOTH (14, 14)/band 16 (3.27M per
+    plane, pb<=4 fits) and (46, 81)/band 32 (5.44M per plane, pb=3
+    lands 16.32M — just over). 280 + a 15.5M budget keeps margin;
+    reproduce with benchmarks/fused_peaks_vmem_probe.py. Fields wider
+    than one 128-lane tile (w > 128, e.g. native-resolution pose at
+    pose_short_side >= ~600) scale the denominator by the padded lane
+    count — at 256 lanes band 32 drops to pb=1, matching the old
+    formula's behaviour there."""
     slab_sub = -(-(band_rows + 2) // 8) * 8
-    return max(1, 15_500_000 // (280 * slab_sub * 128 * 4))
+    # The widest in-kernel rows are the edge-padded plane (w + 2*_PAD);
+    # round that to the lane tile so w just under a 128 multiple doesn't
+    # under-count the next tile.
+    lanes = -(-(max(int(w), 1) + 2 * _PAD) // 128) * 128
+    return max(1, 15_500_000 // (280 * slab_sub * lanes * 4))
 
 
 def find_peaks_fused(heatmaps, threshold, max_peaks, factor=8,
@@ -373,7 +381,7 @@ def find_peaks_fused(heatmaps, threshold, max_peaks, factor=8,
     if band_rows is None:
         band_rows = min(32, -(-h // 8) * 8)
     if plane_block is None:
-        plane_block = auto_plane_block(band_rows)
+        plane_block = auto_plane_block(band_rows, w)
     planes = jnp.moveaxis(heatmaps, -1, -3).reshape(-1, h, w)
     planes = planes.astype(jnp.float32)
 

@@ -35,6 +35,7 @@ axis across chips; parameters are replicated.
 
 import contextlib
 import functools
+import threading
 
 import numpy as np
 import jax
@@ -158,8 +159,11 @@ class PerceptionPipeline:
         # _put_batch call). bench.py reads it around a sweep to compute
         # the transfer plan's MEASURED byte floor — the binding ceiling
         # for link-bound hosts, which the raw-frame link_ceiling_fps
-        # cannot express under the 'host' plan.
+        # cannot express under the 'host' plan. Uploads happen from the
+        # stream uploader thread, the embed worker, AND the main loop
+        # concurrently; += is not atomic, so the counter takes a lock.
         self.upload_bytes = 0
+        self._upload_bytes_lock = threading.Lock()
 
         dtype = compute_dtype or default_policy().compute_dtype
         self.det_model = RetinaFace(compute_dtype=dtype)
@@ -891,7 +895,8 @@ class PerceptionPipeline:
         mesh). Accepts arrays already on device unchanged."""
         if not isinstance(frames, np.ndarray):
             return frames  # already a device array
-        self.upload_bytes += frames.nbytes
+        with self._upload_bytes_lock:
+            self.upload_bytes += frames.nbytes
         if self.mesh is not None:
             return jax.device_put(frames, batch_sharding(self.mesh))
         return jax.device_put(frames)
@@ -899,7 +904,8 @@ class PerceptionPipeline:
     def _put_batch(self, array):
         """Upload a host-built plan array, batch-sharded under a mesh."""
         array = np.asarray(array)
-        self.upload_bytes += array.nbytes
+        with self._upload_bytes_lock:
+            self.upload_bytes += array.nbytes
         if self.mesh is not None:
             return jax.device_put(array, batch_sharding(self.mesh))
         return jnp.asarray(array)

@@ -118,11 +118,20 @@ def test_auto_plane_block_fits_probed_vmem_limits():
     measured 14.7M production block — not regress to a smaller one."""
     from terran_tpu.ops.fused_peaks import auto_plane_block
 
-    assert 1 <= auto_plane_block(16) <= 4
-    assert 1 <= auto_plane_block(32) <= 2
-    assert auto_plane_block(24) == 3
+    assert 1 <= auto_plane_block(16, 14) <= 4
+    assert 1 <= auto_plane_block(32, 81) <= 2
+    assert auto_plane_block(24, 41) == 3
     # Degenerate tiny bands still return a sane positive block.
-    assert auto_plane_block(8) >= 1
+    assert auto_plane_block(8, 9) >= 1
+    # Fields wider than one 128-lane tile scale the denominator: a
+    # 240-wide native-resolution pose field (2 lane tiles) must halve
+    # the budget relative to the 81-wide default field, not ignore the
+    # extra tile (the review-caught regression: a lanes=128 constant
+    # would have OOMed ~23M at (32, 240)).
+    assert auto_plane_block(32, 240) == 1
+    # And widths just under a tile boundary count the NEXT tile: the
+    # kernel's operand rows are edge-padded by 3 each side.
+    assert auto_plane_block(32, 125) == auto_plane_block(32, 240)
 
 
 def test_row_piece_tie_plateau_flags_overflow():

@@ -376,14 +376,18 @@ def test_windowed_embed_matches_full_frame(pipes, rng):
             mask[i, j] = True
     out = {"mask": mask, "landmarks": lmks}
 
+    # Key-set assertions are RELATIVE to this test's own dispatches: the
+    # pipeline is shared across the module, so the cache may already
+    # hold other tests' programs whatever the execution order.
+    pre = set(pipe._warp_embed_fns)
     pipe.embed_windows = []
     plan_full = pipe._dispatch_adaptive_embed(out, frames_dev, 2)
-    full_keys = set(pipe._warp_embed_fns)
+    full_keys = set(pipe._warp_embed_fns) - pre
     pipe.embed_windows = [128]
     plan_win = pipe._dispatch_adaptive_embed(out, frames_dev, 2)
-    win_keys = set(pipe._warp_embed_fns) - full_keys
+    win_keys = set(pipe._warp_embed_fns) - pre - full_keys
 
-    assert all(len(k) == 5 for k in full_keys)       # (k, b, h, w, c)
+    assert full_keys and all(len(k) == 5 for k in full_keys)  # (k,b,h,w,c)
     # (k, ws, group, slab, b, h, w, c); these small upright faces pass
     # the grouped-slab eligibility at some WARP_CONFIGS ladder entry, so
     # a fewer-descriptor slab program runs.

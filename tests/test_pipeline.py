@@ -707,6 +707,33 @@ def test_pipeline_int8_pose(pipes, tiny_pipeline_params, rng):
         _make_pipeline(tiny_pipeline_params, pose_precision="fp8")
 
 
+def test_transfer_plan_host_with_int8_embed(tiny_pipeline_params, rng):
+    """The 'host' transfer plan composes with the int8 embed trunk: the
+    host-aligned crops feed the same _apply_embed router, so the int8
+    host plan must track the int8 device plan exactly as the native
+    host plan tracks native (detection bit-identical under 'exact',
+    embeddings by cosine — the two plans' crops differ by FMA ties on
+    ~1 pixel per thousand, and int8 requantisation can amplify that)."""
+    frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
+    out_d = _make_pipeline(
+        tiny_pipeline_params, embed_precision="int8", with_pose=False,
+    ).process_batch(frames)
+    out_h = _make_pipeline(
+        tiny_pipeline_params, embed_precision="int8", with_pose=False,
+        transfer_plan="host", host_resize="exact",
+    ).process_batch(frames)
+    for key in ("boxes", "landmarks", "scores", "mask"):
+        np.testing.assert_array_equal(out_d[key], out_h[key])
+    np.testing.assert_array_equal(
+        out_d["embeddings_mask"], out_h["embeddings_mask"]
+    )
+    both = out_h["embeddings_mask"]
+    if both.any():
+        a, b = out_d["embeddings"][both], out_h["embeddings"][both]
+        cos = (a * b).sum(-1)
+        assert (cos > 0.99).all(), cos
+
+
 def test_pipeline_int8_under_mesh(tiny_pipeline_params, rng):
     """int8 param trees (int8 kernels + f32 scales) replicate across the
     mesh like any other pytree; the sharded int8 run must match the

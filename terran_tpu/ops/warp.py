@@ -412,7 +412,11 @@ def warp_affine_u8_batch_cv2(image, matrices, out_h=112, out_w=112):
             raw_y = mat[1, 0] * xg + mat[1, 1] * yg + mat[1, 2]
             inside = ((raw_x >= 0) & (raw_x < w)
                       & (raw_y >= 0) & (raw_y < h))
-            out[i] = np.where(inside[..., None], out[i], 0)
+            # Channel-less (H, W) sources take the 2-D mask directly —
+            # inside[..., None] would broadcast a 2-D out[i] to 3-D.
+            if out[i].ndim == 3:
+                inside = inside[..., None]
+            out[i] = np.where(inside, out[i], 0)
     return out
 
 

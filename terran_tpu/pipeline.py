@@ -258,6 +258,20 @@ class PerceptionPipeline:
             int(x) for x in str(cfg.pose_peak_buckets).split(",")
             if str(x).strip()
         )
+        # PAF sampler backend, resolved ONCE here like every other knob
+        # (a lazy per-compile read let a mid-run set_config mix backends
+        # across buckets); also part of the _limb_fns cache key.
+        self.limb_backend = cfg.limb_backend
+        if self.limb_backend == "auto":
+            self.limb_backend = (
+                "matmul" if jax.devices()[0].platform == "tpu"
+                else "gather"
+            )
+        if self.limb_backend not in ("matmul", "gather"):
+            raise ValueError(
+                f"limb_backend must be 'auto', 'matmul', or 'gather', "
+                f"got {self.limb_backend!r}"
+            )
 
         # Transfer plan: what crosses the host->device link per batch.
         # 'device' (default): the raw uint8 frames, once; every resize
@@ -707,23 +721,19 @@ class PerceptionPipeline:
         over (kb, kb) candidate pairs per limb (one compile per bucket).
 
         Takes the peak plan as one (B, P, kb, 3) upload: y, x, valid.
-        The PAF sampler follows ``config.limb_backend``: one-hot MXU
-        contractions on TPU (2.2x the gather form at kb=16 — gathers are
-        per-descriptor-bound there), gathers elsewhere.
+        The PAF sampler follows ``self.limb_backend`` (resolved from
+        config at construction, like every other knob, and part of the
+        cache key): one-hot MXU contractions on TPU (2.2x the gather
+        form at kb=16 — gathers are per-descriptor-bound there),
+        gathers elsewhere.
         """
-        key = (kb,) + tuple(paf_shape)
+        backend = self.limb_backend
+        key = (kb, backend) + tuple(paf_shape)
         if key in self._limb_fns:
             return self._limb_fns[key]
 
-        from terran_tpu.config import get_config
         from terran_tpu.ops.pose_decode import limb_scores_matmul
 
-        backend = get_config().limb_backend
-        if backend == "auto":
-            backend = (
-                "matmul" if jax.devices()[0].platform == "tpu"
-                else "gather"
-            )
         score = limb_scores_matmul if backend == "matmul" else limb_scores
 
         def limbs_fn(paf, cv_packed):
@@ -1266,7 +1276,7 @@ class PerceptionPipeline:
             # Dispatch the bucketed warp+embed now; it computes while the
             # pose fetch and host assembly below run.
             with stage("embed_dispatch", items=n):
-                emb_plan = self._dispatch_adaptive_embed(out, frames_dev, n)
+                emb_plan = self._dispatch_adaptive_embed(out, frames_dev)
 
         pose_state = None
         if pose_out is not None:
@@ -1436,9 +1446,11 @@ class PerceptionPipeline:
     def _plan_adaptive_embed(self, out, b, fh, fw, windows=True):
         """Shared planning for the bucketed warp+embed program: bucket
         selection, host Umeyama, the packed (b, k, 9) plan, and the
-        window/group choice. Returns None when no faces were found, else
-        (packed, k, ws, group) where ws is None for the full-frame
-        fallback and group is None for the per-pixel windowed program.
+        window/config choice. Returns None when no faces were found,
+        else (packed, k, ws, cfg) where ws is None for the full-frame
+        fallback and cfg is the WARP_CONFIGS ladder entry
+        ``(group, (slab_h, slab_w))`` — or None for the per-pixel
+        windowed program.
 
         ``windows=False`` (the 'host' transfer plan, which warps on the
         host and never runs a windowed device gather) stops after the
@@ -1512,7 +1524,7 @@ class PerceptionPipeline:
             packed[..., 8] = np.clip(packed[..., 8], 0, fw - ws)
         return packed, k, ws, (cfg if ws_grouped is not None else None)
 
-    def _dispatch_adaptive_embed(self, out, frames_dev, n):
+    def _dispatch_adaptive_embed(self, out, frames_dev):
         """Plan and enqueue the bucketed warp+embed program.
 
         The per-frame slot count ``k`` is the smallest bucket covering the
@@ -1717,7 +1729,13 @@ class PerceptionPipeline:
                 """Record the worker thread's spans against the batch id
                 the dispatch loop will assign: every stage consumes the
                 source in order, so the k-th batch through a worker is
-                dispatch id _batch_seq + k."""
+                dispatch id _batch_seq + k. That inference assumes this
+                stream is the ONLY dispatcher while instrumented — an
+                interleaved process_batch()/second stream advances
+                _batch_seq outside this count and shifts every later
+                worker span's attribution. The Timeline is a bench
+                instrument attached to one exclusive sweep (bench.py);
+                it is not meant to survive concurrent dispatchers."""
                 if self.timeline is None:
                     return fn
                 import itertools

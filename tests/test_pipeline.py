@@ -381,10 +381,10 @@ def test_windowed_embed_matches_full_frame(pipes, rng):
     # hold other tests' programs whatever the execution order.
     pre = set(pipe._warp_embed_fns)
     pipe.embed_windows = []
-    plan_full = pipe._dispatch_adaptive_embed(out, frames_dev, 2)
+    plan_full = pipe._dispatch_adaptive_embed(out, frames_dev)
     full_keys = set(pipe._warp_embed_fns) - pre
     pipe.embed_windows = [128]
-    plan_win = pipe._dispatch_adaptive_embed(out, frames_dev, 2)
+    plan_win = pipe._dispatch_adaptive_embed(out, frames_dev)
     win_keys = set(pipe._warp_embed_fns) - pre - full_keys
 
     assert full_keys and all(len(k) == 5 for k in full_keys)  # (k,b,h,w,c)
@@ -416,7 +416,7 @@ def test_rotated_faces_fall_back_to_per_pixel_window(
     out = {"mask": mask, "landmarks": lmks}
 
     pipe.embed_windows = [256]
-    pipe._dispatch_adaptive_embed(out, frames_dev, 1)
+    pipe._dispatch_adaptive_embed(out, frames_dev)
     # Per-pixel keys are (k, ws, None, b, h, w, c) — slab omitted; a
     # grouped key would carry its slab tuple (len 8). ~50 degrees is
     # beyond even the (4, 6) tail of the ladder, so no grouped program
@@ -439,7 +439,7 @@ def test_windowed_embed_falls_back_for_oversized_faces(
     out = {"mask": mask, "landmarks": lmks}
 
     pipe.embed_windows = [128]
-    pipe._dispatch_adaptive_embed(out, frames_dev, 1)
+    pipe._dispatch_adaptive_embed(out, frames_dev)
     assert all(len(k) == 5 for k in pipe._warp_embed_fns)  # full-frame only
 
 

@@ -49,7 +49,9 @@ class StreamMultiplexer:
     def __iter__(self):
         batch, meta = [], []
         while self._active:
-            progressed = False
+            # No extra stall guard needed: an iteration that makes no
+            # progress discarded every stream from _active, so the while
+            # condition terminates the loop on its own.
             for idx in sorted(self._active):
                 if not self._pull(idx):
                     self._active.discard(idx)
@@ -57,12 +59,9 @@ class StreamMultiplexer:
                 batch.append(self._pending[idx].popleft())
                 meta.append((idx, self._frame_counters[idx]))
                 self._frame_counters[idx] += 1
-                progressed = True
                 if len(batch) == self.batch_size:
                     yield np.stack(batch), meta
                     batch, meta = [], []
-            if not progressed and not self._active:
-                break
         if batch:
             yield np.stack(batch), meta
 
@@ -79,59 +78,56 @@ class MultiStreamPerception:
         self.mux = StreamMultiplexer(streams, batch_size=batch_size)
         self.track = track
         if track:
-            framerate = getattr(streams[0], "framerate", 30) or 30
-            self.trackers = [
-                Sort(
-                    max_age=max_age if max_age is not None else int(framerate),
+            # Per-STREAM framerate (heterogeneous sources get their own
+            # eviction windows — one shared framerate evicted a 60 fps
+            # stream's tracks 4x too early), read from the multiplexer's
+            # materialised list so generator inputs work too.
+            self.trackers = []
+            for stream in self.mux.streams:
+                framerate = getattr(stream, "framerate", 30) or 30
+                self.trackers.append(Sort(
+                    max_age=(
+                        max_age if max_age is not None else int(framerate)
+                    ),
                     min_hits=(
                         min_hits if min_hits is not None
                         else int(framerate) // 5
                     ),
-                )
-                for _ in streams
-            ]
+                ))
 
     def __iter__(self):
         """Yield per-batch lists of result dicts:
         {stream, frame, faces, embeddings, pose}.
 
-        Software-pipelined like ``PerceptionPipeline.process_stream``: the
-        next batch's device work is dispatched before this batch's host
-        stages (pose assembly, tracking) run.
+        Rides ``PerceptionPipeline.process_stream`` (config
+        ``pipeline_depth``, two-phase finalization, threaded h2d/resize
+        prefetch — the r5 review found the previous hand-rolled copy of
+        that loop was pinned at depth 1 with synchronous uploads, the
+        worst shape for transfer-bound hosts). Metas travel in a
+        lockstep FIFO: process_stream consumes batches in order and
+        yields results in order, and the deque's append/popleft are
+        atomic, so pairing holds even with the prefetch threads
+        consuming the generator ahead of the dispatch loop.
         """
-        # Two-phase finalization like process_stream: batch i's adaptive
-        # dispatches (advance) run right after batch i+1's forward is
-        # enqueued, and its heavy fetches (collect, inside _results) wait
-        # one further slot — the limb/embed programs compute while the
-        # next batch crosses the link.
-        pending = None
-        advanced = None
-        for frames, meta in self.mux:
-            # Pad trailing partial batches to the fixed batch size so they
-            # reuse the compiled program instead of triggering a fresh
-            # compilation per distinct size.
-            if frames.shape[0] < self.mux.batch_size:
-                pad = self.mux.batch_size - frames.shape[0]
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], pad, axis=0)]
-                )
-            dispatched = self.pipeline.dispatch_batch(frames)
-            if pending is not None:
-                adv = (self.pipeline.advance_batch(*pending[0]), pending[1])
-                if advanced is not None:
-                    yield self._results(*advanced)
-                advanced = adv
-            pending = (dispatched, meta)
-        if pending is not None:
-            adv = (self.pipeline.advance_batch(*pending[0]), pending[1])
-            if advanced is not None:
-                yield self._results(*advanced)
-            advanced = adv
-        if advanced is not None:
-            yield self._results(*advanced)
+        metas = deque()
 
-    def _results(self, state, meta):
-        out = self.pipeline.collect_batch(state)
+        def padded_batches():
+            for frames, meta in self.mux:
+                # Pad trailing partial batches to the fixed batch size
+                # so they reuse the compiled program instead of
+                # triggering a fresh compilation per distinct size.
+                if frames.shape[0] < self.mux.batch_size:
+                    pad = self.mux.batch_size - frames.shape[0]
+                    frames = np.concatenate(
+                        [frames, np.repeat(frames[-1:], pad, axis=0)]
+                    )
+                metas.append(meta)
+                yield frames
+
+        for out in self.pipeline.process_stream(padded_batches()):
+            yield self._results(out, metas.popleft())
+
+    def _results(self, out, meta):
         faces_per_frame = self.pipeline.faces_from(out)
         results = []
         for slot, (stream_idx, frame_idx) in enumerate(meta):

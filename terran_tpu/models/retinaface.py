@@ -222,6 +222,30 @@ def anchors_for_shape(height, width):
     return np.concatenate(planes, axis=0)
 
 
+def anchor_cell_meta(height, width):
+    """Per-anchor feature-map CELL coordinates and stride for an input of
+    (height, width): (cell_x, cell_y, cell_stride) int32 numpy arrays,
+    concatenated over strides in :data:`FEATURE_STRIDES` order — the same
+    anchor order as :func:`anchors_for_shape`. Shared by the ceil-cell
+    validity masking in :func:`make_detect_fn` and the spatial-sharding
+    ownership partition (``parallel/spatial.py``), which must stay
+    aligned with decode order by construction, not by two hand-synced
+    copies."""
+    cell_x, cell_y, cell_stride = [], [], []
+    for stride in FEATURE_STRIDES:
+        fh = -(-height // stride)
+        fw = -(-width // stride)
+        ys, xs = np.meshgrid(np.arange(fh), np.arange(fw), indexing="ij")
+        for arr, vals in ((cell_x, xs), (cell_y, ys)):
+            arr.append(np.repeat(vals.reshape(-1), NUM_ANCHORS))
+        cell_stride.append(np.full(fh * fw * NUM_ANCHORS, stride))
+    return (
+        np.concatenate(cell_x).astype(np.int32),
+        np.concatenate(cell_y).astype(np.int32),
+        np.concatenate(cell_stride).astype(np.int32),
+    )
+
+
 def decode_outputs(outputs, anchors):
     """Fused decode of the raw head outputs into scores/boxes/landmarks.
 
@@ -305,18 +329,7 @@ def make_detect_fn(model: RetinaFace, height: int, width: int, *,
     silently drop real edge detections even in exact mode.
     """
     anchors = anchors_for_shape(height, width)
-    # Per-anchor feature-map cell coordinates and stride, in image pixels.
-    cell_x, cell_y, cell_stride = [], [], []
-    for stride in FEATURE_STRIDES:
-        fh = -(-height // stride)
-        fw = -(-width // stride)
-        ys, xs = np.meshgrid(np.arange(fh), np.arange(fw), indexing="ij")
-        for arr, vals in ((cell_x, xs), (cell_y, ys)):
-            arr.append(np.repeat(vals.reshape(-1), NUM_ANCHORS))
-        cell_stride.append(np.full(fh * fw * NUM_ANCHORS, stride))
-    cell_x = np.concatenate(cell_x).astype(np.int32)
-    cell_y = np.concatenate(cell_y).astype(np.int32)
-    cell_stride = np.concatenate(cell_stride).astype(np.int32)
+    cell_x, cell_y, cell_stride = anchor_cell_meta(height, width)
 
     @jax.jit
     def detect(params, images, threshold=0.5, valid_w=width, valid_h=height):

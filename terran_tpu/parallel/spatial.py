@@ -42,8 +42,8 @@ import jax.numpy as jnp
 
 from terran_tpu.models.retinaface import (
     FEATURE_STRIDES,
-    NUM_ANCHORS,
     RetinaFace,
+    anchor_cell_meta,
     anchors_for_shape,
     decode_outputs,
     unpack_detections,
@@ -76,17 +76,9 @@ def ext_anchor_meta(slab_h, width, halo):
     """
     ext_h = slab_h + 2 * halo
     anchors = anchors_for_shape(ext_h, width)
-    cell_x, cell_y, cell_stride = [], [], []
-    for stride in FEATURE_STRIDES:
-        fh = -(-ext_h // stride)
-        fw = -(-width // stride)
-        ys, xs = np.meshgrid(np.arange(fh), np.arange(fw), indexing="ij")
-        cell_x.append(np.repeat(xs.reshape(-1), NUM_ANCHORS))
-        cell_y.append(np.repeat(ys.reshape(-1), NUM_ANCHORS))
-        cell_stride.append(np.full(fh * fw * NUM_ANCHORS, stride))
-    cell_x = np.concatenate(cell_x).astype(np.int32)
-    cell_y = np.concatenate(cell_y).astype(np.int32)
-    cell_stride = np.concatenate(cell_stride).astype(np.int32)
+    # Same cell-meta helper as make_detect_fn — the ownership partition
+    # stays aligned with decode order by construction.
+    cell_x, cell_y, cell_stride = anchor_cell_meta(ext_h, width)
     ctr_y = (anchors[:, 1] + anchors[:, 3]) / 2.0
     return anchors, cell_x, cell_y, cell_stride, ctr_y
 

@@ -73,27 +73,8 @@ class ParallelVideo:
         self.start_time = start_time or 0.0
 
         probe = reader_mod.ffmpeg_probe(self.path)
-        video_stream = next(
-            (s for s in probe["streams"] if s.get("codec_type") == "video"),
-            None,
-        )
-        if not video_stream:
-            raise ValueError(f"No video stream found at `{path}`.")
-        self.width = int(video_stream["width"])
-        self.height = int(video_stream["height"])
-
-        rate = video_stream["avg_frame_rate"]
-        if "/" in rate:
-            num, den = map(int, rate.split("/"))
-            self.source_framerate = num / den if den else 0.0
-        else:
-            self.source_framerate = float(rate)
-
-        source_duration = None
-        if "duration" in video_stream:
-            source_duration = float(video_stream["duration"])
-        elif "duration" in probe.get("format", {}):
-            source_duration = float(probe["format"]["duration"])
+        (self.width, self.height, self.source_framerate,
+         source_duration) = reader_mod.parse_video_probe(probe, path)
         if source_duration is None:
             raise ValueError(
                 "ParallelVideo needs a known duration to place segment "
@@ -135,6 +116,9 @@ class ParallelVideo:
         self._threads = []
         self._stop = Event()
         self._closed = False
+        self._shut = False       # internal wind-down ran (idempotent)
+        self._final = None       # terminal decode error, re-delivered
+        self._live_procs = set()  # decoders close() may need to kill
 
     # -- contract surface (mirrors Video) -----------------------------------
 
@@ -204,12 +188,16 @@ class ParallelVideo:
 
     def _decode_segment(self, index, queue):
         seg_start, seg_dur = self.segments[index]
+        import tempfile
+
         proc = None
+        stderr_f = tempfile.TemporaryFile()
         try:
             proc = subprocess.Popen(
                 self._prepare_segment_cmd(seg_start, seg_dur),
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                stdout=subprocess.PIPE, stderr=stderr_f,
             )
+            self._live_procs.add(proc)
             while not self._stop.is_set():
                 frames = reader_mod.read_batch_from_stream(
                     proc.stdout, self.width, self.height, self.batch_size
@@ -217,12 +205,30 @@ class ParallelVideo:
                 if frames is None:
                     break
                 self._offer(queue, frames)
+            # A stdout EOF with a nonzero exit code is a FAILED segment,
+            # not a finished one: without this check a crashed decode
+            # was indistinguishable from clean EOF and a mid-video chunk
+            # of frames vanished silently, corrupting provenance for
+            # every downstream consumer.
+            if not self._stop.is_set():
+                returncode = proc.wait()
+                if returncode != 0:
+                    stderr_f.seek(0)
+                    tail = stderr_f.read()[-500:].decode("utf-8", "replace")
+                    raise reader_mod.FFmpegError(
+                        f"ffmpeg exited with code {returncode} on segment "
+                        f"{index} (t={seg_start:.2f}s, {seg_dur:.2f}s): "
+                        f"{tail}"
+                    )
             self._offer(queue, None)
         except Exception as exc:
             self._offer(queue, exc)
         finally:
-            if proc is not None and proc.poll() is None:
-                proc.kill()
+            if proc is not None:
+                if proc.poll() is None:
+                    proc.kill()
+                self._live_procs.discard(proc)
+            stderr_f.close()
 
     def _offer(self, queue, item):
         """Bounded put that gives up when the consumer is closing."""
@@ -254,6 +260,8 @@ class ParallelVideo:
         """Next batch in source order; ``EndOfVideo`` when exhausted."""
         if self._closed:
             raise EndOfVideo
+        if self._final is not None:
+            raise self._final
         self._ensure_started()
 
         while True:
@@ -281,8 +289,13 @@ class ParallelVideo:
                 # Decode errors are terminal, like the single-process
                 # reader's: the failed segment has no further producer, so
                 # a retrying caller would otherwise block forever on its
-                # queue. close() lets every worker wind down.
-                self.close()
+                # queue. The INTERNAL shutdown winds the workers down
+                # without flipping the public closed flag — a with-block's
+                # __exit__ (or user close()) must still run normally
+                # instead of raising VideoClosed over the actual decode
+                # error; _final re-delivers it on any further read.
+                self._shutdown()
+                self._final = item
                 raise item
             if item is None:
                 # Segment exhausted: advance and let workers claim further.
@@ -293,10 +306,12 @@ class ParallelVideo:
                 continue
             return item
 
-    def close(self):
-        if self._closed:
-            raise VideoClosed("The video has already been closed.")
-        self._closed = True
+    def _shutdown(self):
+        """Idempotent worker wind-down (shared by ``close()`` and the
+        terminal-error path in ``read_frames``)."""
+        if self._shut:
+            return
+        self._shut = True
         self._stop.set()
         with self._cond:
             self._cond.notify_all()
@@ -307,8 +322,26 @@ class ParallelVideo:
                     queue.get_nowait()
             except QueueEmpty:
                 pass
+        # A worker blocked inside proc.stdout.read() never reaches its
+        # stop check; kill the decoders to force EOFs rather than
+        # joining forever.
+        deadline_joined = True
         for thread in self._threads:
-            thread.join()
+            thread.join(timeout=2.0)
+            if thread.is_alive():
+                deadline_joined = False
+        if not deadline_joined:
+            for proc in list(self._live_procs):
+                if proc.poll() is None:
+                    proc.kill()
+            for thread in self._threads:
+                thread.join()
+
+    def close(self):
+        if self._closed:
+            raise VideoClosed("The video has already been closed.")
+        self._closed = True
+        self._shutdown()
 
 
 def open_video_parallel(*args, **kwargs):

@@ -77,6 +77,41 @@ def ffmpeg_probe(path, **kwargs):
     return json.loads(out.decode("utf-8"))
 
 
+def parse_video_probe(probe, path):
+    """Extract (width, height, source_framerate, source_duration) from an
+    ffprobe JSON blob. Shared by ``Video`` and ``ParallelVideo`` — the
+    stream selection, avg_frame_rate fraction parsing, and duration
+    fallbacks must stay identical between the serial and parallel
+    readers (they were hand-synced copies before r5). Raises ValueError
+    when no video stream exists; ``source_duration`` is None when the
+    container reports none (live sources)."""
+    video_stream = next(
+        (s for s in probe["streams"] if s.get("codec_type") == "video"),
+        None,
+    )
+    if not video_stream:
+        raise ValueError(
+            f"No video stream found at `{path}`. Are you sure this is a "
+            "video file or stream?"
+        )
+    width = int(video_stream["width"])
+    height = int(video_stream["height"])
+    # avg_frame_rate is robust against multi-stream containers
+    # (ref reader.py:280-287).
+    rate = video_stream["avg_frame_rate"]
+    if "/" in rate:
+        num, den = map(int, rate.split("/"))
+        framerate = num / den if den else 0.0
+    else:
+        framerate = float(rate)
+    duration = None
+    if "duration" in video_stream:
+        duration = float(video_stream["duration"])
+    elif "duration" in probe.get("format", {}):
+        duration = float(probe["format"]["duration"])
+    return width, height, framerate, duration
+
+
 def is_path_stream(path):
     return any(
         str(path).startswith(prefix)
@@ -118,18 +153,30 @@ def read_batch_from_stream(stream, width, height, batch_size):
     return frames.reshape([height, width, 3])
 
 
-def _frame_reader(queue, should_stop, cmd, spec):
+def _frame_reader(queue, should_stop, cmd, spec, proc_holder=None):
     """Reader-thread worker: ffmpeg subprocess -> bounded queue.
 
     Termination contract: always enqueues a final sentinel — ``None`` for
     clean EOF or the exception itself on failure — so the consumer never
-    blocks forever (improvement over ref reader.py:126-162).
+    blocks forever (improvement over ref reader.py:126-162). A stdout
+    EOF with a NONZERO ffmpeg exit code is a decode FAILURE, not an end
+    of video: it surfaces as an ``FFmpegError`` carrying the stderr tail
+    instead of silently truncating the stream (stderr goes to a temp
+    file — piping it could deadlock a chatty encoder mid-decode).
+    ``proc_holder`` (a one-slot list) exposes the subprocess so
+    ``close()`` can kill it when this thread is blocked in a read on a
+    stalled live source.
     """
+    import tempfile
+
     proc = None
+    stderr_f = tempfile.TemporaryFile()
     try:
         proc = subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+            cmd, stdout=subprocess.PIPE, stderr=stderr_f
         )
+        if proc_holder is not None:
+            proc_holder[0] = proc
         while True:
             frames = read_batch_from_stream(
                 proc.stdout, spec["width"], spec["height"], spec["batch_size"]
@@ -144,12 +191,21 @@ def _frame_reader(queue, should_stop, cmd, spec):
                     break
                 except QueueFull:
                     continue
+        returncode = proc.wait()
+        if returncode != 0 and not should_stop.is_set():
+            stderr_f.seek(0)
+            tail = stderr_f.read()[-500:].decode("utf-8", "replace")
+            raise FFmpegError(
+                f"ffmpeg exited with code {returncode} mid-decode "
+                f"(frames silently lost without this check): {tail}"
+            )
         _put_final(queue, should_stop, None)
     except Exception as exc:  # propagate to consumer
         _put_final(queue, should_stop, exc)
     finally:
         if proc is not None and proc.poll() is None:
             proc.kill()
+        stderr_f.close()
 
 
 def _put_final(queue, should_stop, item):
@@ -203,35 +259,8 @@ class Video:
                 )
             raise ValueError(message)
 
-        video_stream = next(
-            (
-                s for s in probe["streams"]
-                if s.get("codec_type") == "video"
-            ), None,
-        )
-        if not video_stream:
-            raise ValueError(
-                f"No video stream found at `{path}`. Are you sure this is a "
-                "video file or stream?"
-            )
-
-        self.width = int(video_stream["width"])
-        self.height = int(video_stream["height"])
-
-        # avg_frame_rate is robust against multi-stream containers
-        # (ref reader.py:280-287).
-        rate = video_stream["avg_frame_rate"]
-        if "/" in rate:
-            num, den = map(int, rate.split("/"))
-            self.source_framerate = num / den if den else 0.0
-        else:
-            self.source_framerate = float(rate)
-
-        self.source_duration = None
-        if "duration" in video_stream:
-            self.source_duration = float(video_stream["duration"])
-        elif "duration" in probe.get("format", {}):
-            self.source_duration = float(probe["format"]["duration"])
+        (self.width, self.height, self.source_framerate,
+         self.source_duration) = parse_video_probe(probe, path)
 
         if self.duration is not None and self.duration < 0:
             raise ValueError(
@@ -243,6 +272,8 @@ class Video:
         self._queue = None
         self._stop_signal = None
         self._closed = False
+        self._proc_holder = [None]  # lets close() kill a blocked decode
+        self._final = None  # EOF/error sentinel, re-delivered on re-read
 
     # -- context manager / iterator protocol --------------------------------
 
@@ -348,9 +379,14 @@ class Video:
 
     def read_frames(self):
         """Blocking read of the next batch; raises ``EndOfVideo`` at the end
-        and re-raises reader-thread failures here (ref reader.py:467-501)."""
+        and re-raises reader-thread failures here (ref reader.py:467-501).
+        The final sentinel is remembered: reading again after the end (or
+        after an error) re-raises instead of blocking forever on the
+        empty queue of a finished producer."""
         if self._closed:
             raise EndOfVideo
+        if self._final is not None:
+            raise self._final
 
         if not self._thread:
             cmd = self._prepare_ffmpeg_cmd()
@@ -364,7 +400,8 @@ class Video:
             self._queue = Queue(get_config().reader_buffer_batches)
             self._stop_signal = Event()
             self._thread = Thread(
-                args=(self._queue, self._stop_signal, cmd, spec),
+                args=(self._queue, self._stop_signal, cmd, spec,
+                      self._proc_holder),
                 name="FrameReader",
                 target=_frame_reader,
                 daemon=True,
@@ -373,8 +410,10 @@ class Video:
 
         item = self._queue.get()
         if item is None:
-            raise EndOfVideo
+            self._final = EndOfVideo()
+            raise self._final
         if isinstance(item, Exception):
+            self._final = item
             raise item
         return item
 
@@ -390,7 +429,15 @@ class Video:
                     self._queue.get_nowait()
             except QueueEmpty:
                 pass
-            self._thread.join()
+            # A thread blocked inside proc.stdout.read() on a stalled
+            # live source never reaches the stop check; kill the decoder
+            # to force an EOF rather than joining forever.
+            self._thread.join(timeout=2.0)
+            if self._thread.is_alive():
+                proc = self._proc_holder[0]
+                if proc is not None and proc.poll() is None:
+                    proc.kill()
+                self._thread.join()
             # Wake any consumer blocked in read_frames() with the EOF
             # sentinel (the queue was just drained, so this cannot block).
             try:

@@ -139,28 +139,38 @@ class VideoWriter:
 
             cfg = get_config()
             self._queue = Queue(cfg.writer_buffer_frames)
+            # daemon: a producer that crashes without close() leaves this
+            # thread blocked in queue.get() forever; a non-daemon thread
+            # would then hang interpreter shutdown. The output file is
+            # already unfinalised in that scenario (only close() drains
+            # and finalises the container), so the daemon flag loses
+            # nothing — the reference left this as an open TODO
+            # (writer.py:41 "Daemon or not?").
             self._thread = Thread(
                 target=_frame_writer,
                 args=(self._queue, cmd, self._errors,
                       cfg.writer_drain_timeout_s),
+                daemon=True,
             )
             self._thread.start()
 
         # A dead writer thread (encoder failed to start or exited early)
         # stops draining the bounded queue; blocking puts would deadlock the
         # producer and bury the recorded error. Poll so the failure surfaces.
+        # The writer is NOT marked closed here: the with-block's close()
+        # must still run (join the thread, re-raise the same recorded
+        # error) instead of hitting the already-closed guard and masking
+        # the encoder failure with a VideoClosed.
         from queue import Full as QueueFull
 
         while True:
             if self._errors:
-                self._closed = True
                 raise self._errors[0]
             try:
                 self._queue.put((frame_or_func, *args), timeout=0.5)
                 return
             except QueueFull:
                 if not self._thread.is_alive():
-                    self._closed = True
                     raise RuntimeError(
                         "video writer thread exited unexpectedly"
                     )

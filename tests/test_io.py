@@ -110,6 +110,43 @@ def test_video_reader_propagates_thread_errors(monkeypatch):
         video.read_frames()
 
 
+def test_video_reader_nonzero_exit_is_failure_not_eof(monkeypatch):
+    """A decoder dying with a nonzero exit code surfaces as FFmpegError
+    instead of a clean EndOfVideo — stdout EOF alone is NOT end of video
+    (the r5 review found decode failures silently truncated the stream).
+    The error is sticky: re-reading re-raises it, and EOF stays
+    repeatable on the clean path."""
+    from terran_tpu.io.video.reader import FFmpegError
+
+    video = make_fake_video(monkeypatch, batch_size=2)
+    crash = (
+        "import sys\n"
+        "sys.stdout.buffer.write(bytes(8 * 6 * 3 * 2))\n"
+        "sys.stderr.write('simulated crash')\n"
+        "sys.exit(5)\n"
+    )
+    monkeypatch.setattr(
+        video, "_prepare_ffmpeg_cmd", lambda: [sys.executable, "-c", crash]
+    )
+    first = video.read_frames()
+    assert first.shape == (2, 6, 8, 3)
+    with pytest.raises(FFmpegError, match="code 5.*simulated crash"):
+        video.read_frames()
+    with pytest.raises(FFmpegError):  # sticky, no forever-block
+        video.read_frames()
+
+
+def test_video_reader_eof_is_repeatable(monkeypatch):
+    """Reading past the end raises EndOfVideo again instead of blocking
+    forever on the finished producer's empty queue."""
+    video = make_fake_video(monkeypatch, batch_size=4, num_frames=4)
+    video.read_frames()
+    with pytest.raises(EndOfVideo):
+        video.read_frames()
+    with pytest.raises(EndOfVideo):
+        video.read_frames()
+
+
 def test_video_reader_framerate_and_start_time(monkeypatch):
     video = make_fake_video(
         monkeypatch, batch_size=2, framerate=5, start_time="00:00:01"

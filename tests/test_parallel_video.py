@@ -96,13 +96,53 @@ def test_worker_exception_propagates_in_order(monkeypatch):
             values.extend(batch[:, 0, 0, 0].tolist())
     # Everything before the failing segment arrived intact and in order.
     assert values == [k % 256 for k in range(20)]
-    # Decode errors are terminal: a retrying caller gets a clean
-    # end-of-stream instead of blocking forever on the dead segment's
-    # queue (the failed segment has no further producer).
-    from terran_tpu.io.video import EndOfVideo
-
-    with pytest.raises(EndOfVideo):
+    # Decode errors are terminal AND sticky: a retrying caller gets the
+    # SAME error re-delivered (r4 converted it to a clean EndOfVideo,
+    # which hid the failure from any second consumer) instead of
+    # blocking forever on the dead segment's queue.
+    with pytest.raises(RuntimeError, match="decoder exploded"):
         video.read_frames()
+    # And the with-block's close() still works after the error — the r5
+    # review found the old error path flipped the closed flag, so
+    # __exit__ raised VideoClosed OVER the actual decode error.
+    video.close()
+    for thread in video._threads:
+        assert not thread.is_alive()
+    from terran_tpu.io.video import VideoClosed
+
+    with pytest.raises(VideoClosed):
+        video.close()
+
+
+def test_nonzero_exit_is_a_failure_not_eof(monkeypatch):
+    """A decoder that dies mid-segment with a nonzero exit code must
+    surface as an FFmpegError, NOT a clean segment end — the r5 review
+    found a crashed segment was indistinguishable from EOF, silently
+    dropping a mid-video chunk of frames."""
+    from terran_tpu.io.video.reader import FFmpegError
+
+    video = make_parallel_video(monkeypatch, workers=1)
+
+    def crashing(seg_start, seg_duration):
+        if int(round(seg_start * FPS)) == 10:  # second segment
+            # Emits half its frames, then dies nonzero mid-decode.
+            code = (
+                "import sys\n"
+                f"for k in range(10, 15):\n"
+                f"    sys.stdout.buffer.write(bytes([k]) * ({W * H * 3}))\n"
+                "sys.stderr.write('simulated decoder crash')\n"
+                "sys.exit(3)\n"
+            )
+            return [sys.executable, "-S", "-c", code]
+        return segment_emitter(seg_start, seg_duration)
+
+    monkeypatch.setattr(video, "_prepare_segment_cmd", crashing)
+    values = []
+    with pytest.raises(FFmpegError, match="code 3.*simulated decoder"):
+        for batch in video:
+            values.extend(batch[:, 0, 0, 0].tolist())
+    # Segment 0 and the partial frames of the crashed segment arrived.
+    assert values == [k % 256 for k in range(15)]
 
 
 def test_close_mid_stream_joins_workers(monkeypatch):

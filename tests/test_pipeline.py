@@ -104,6 +104,15 @@ _PIPE_CONFIGS = {
     "host_auto": {"transfer_plan": "host"},
     "host_mesh": {"mesh": "MESH", "transfer_plan": "host",
                   "host_resize": "exact"},
+    # One shared int8-embed pipeline serves the whole int8 family
+    # (track-f32, host-plan composition, under-mesh): pose is off
+    # because detection is its own jitted program (pipeline.py
+    # _perception_fn), so boxes are bitwise-independent of with_pose,
+    # and each pose program the int8 tests skipped compiling was
+    # minutes of the suite wall (full-suite durations, 2026-08-20).
+    "int8_embed": {"embed_precision": "int8", "with_pose": False},
+    "int8_embed_host": {"embed_precision": "int8", "with_pose": False,
+                        "transfer_plan": "host", "host_resize": "exact"},
 }
 _PIPE_MUTABLE = (
     "threshold", "keypoint_threshold", "thresh_midpoint",
@@ -667,9 +676,7 @@ def test_pipeline_int8_embed(pipes, tiny_pipeline_params, rng):
     the native path closely enough to preserve identity ranking."""
     frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
     out = pipes("default").process_batch(frames)
-    out8 = _make_pipeline(
-        tiny_pipeline_params, embed_precision="int8"
-    ).process_batch(frames)
+    out8 = pipes("int8_embed").process_batch(frames)
     np.testing.assert_array_equal(out["boxes"], out8["boxes"])
     np.testing.assert_array_equal(
         out["embeddings_mask"], out8["embeddings_mask"]
@@ -707,7 +714,7 @@ def test_pipeline_int8_pose(pipes, tiny_pipeline_params, rng):
         _make_pipeline(tiny_pipeline_params, pose_precision="fp8")
 
 
-def test_transfer_plan_host_with_int8_embed(tiny_pipeline_params, rng):
+def test_transfer_plan_host_with_int8_embed(pipes, rng):
     """The 'host' transfer plan composes with the int8 embed trunk: the
     host-aligned crops feed the same _apply_embed router, so the int8
     host plan must track the int8 device plan exactly as the native
@@ -715,13 +722,8 @@ def test_transfer_plan_host_with_int8_embed(tiny_pipeline_params, rng):
     embeddings by cosine — the two plans' crops differ by FMA ties on
     ~1 pixel per thousand, and int8 requantisation can amplify that)."""
     frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
-    out_d = _make_pipeline(
-        tiny_pipeline_params, embed_precision="int8", with_pose=False,
-    ).process_batch(frames)
-    out_h = _make_pipeline(
-        tiny_pipeline_params, embed_precision="int8", with_pose=False,
-        transfer_plan="host", host_resize="exact",
-    ).process_batch(frames)
+    out_d = pipes("int8_embed").process_batch(frames)
+    out_h = pipes("int8_embed_host").process_batch(frames)
     for key in ("boxes", "landmarks", "scores", "mask"):
         np.testing.assert_array_equal(out_d[key], out_h[key])
     np.testing.assert_array_equal(
@@ -734,7 +736,7 @@ def test_transfer_plan_host_with_int8_embed(tiny_pipeline_params, rng):
         assert (cos > 0.99).all(), cos
 
 
-def test_pipeline_int8_under_mesh(tiny_pipeline_params, rng):
+def test_pipeline_int8_under_mesh(pipes, tiny_pipeline_params, rng):
     """int8 param trees (int8 kernels + f32 scales) replicate across the
     mesh like any other pytree; the sharded int8 run must match the
     single-device int8 run exactly. A 2-device mesh: the replication/
@@ -742,20 +744,26 @@ def test_pipeline_int8_under_mesh(tiny_pipeline_params, rng):
     (every other mesh test runs 8-wide), and the XLA CPU partitioner's
     compile time on the ~200 int8 convs scales with the partition count
     — this one test was 2818 s of the suite's 111-minute wall at 8
-    devices (full-suite durations, 2026-08-20)."""
+    devices (full-suite durations, 2026-08-20). The ArcFace int8 tree
+    stands in for both trunks: the replication mechanism is
+    tree-uniform (the pose int8 tree is the same int8-kernels +
+    f32-scales pytree shape, pinned single-device in
+    test_pipeline_int8_pose), and dropping the OpenPose partitioned
+    compile plus sharing the single-device side with the cached
+    int8_embed pipeline halved this test's wall again."""
     frames = rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8)
-    kwargs = dict(embed_precision="int8", pose_precision="int8")
-    single = _make_pipeline(
-        tiny_pipeline_params, **kwargs
-    ).process_batch(frames)
+    single = pipes("int8_embed").process_batch(frames)
     sharded = _make_pipeline(
-        tiny_pipeline_params, mesh=create_mesh(2), **kwargs
+        tiny_pipeline_params, mesh=create_mesh(2),
+        embed_precision="int8", with_pose=False,
     ).process_batch(frames)
     np.testing.assert_array_equal(single["boxes"], sharded["boxes"])
     np.testing.assert_allclose(
         single["embeddings"], sharded["embeddings"], atol=2e-4
     )
-    assert len(sharded["poses"]) == 2
+    np.testing.assert_array_equal(
+        single["embeddings_mask"], sharded["embeddings_mask"]
+    )
 
 
 def test_host_resize_numpy_fallback(tiny_pipeline_params, rng,

@@ -54,7 +54,7 @@ import pytest
 # are marked slow WHOLESALE except for the named host-side/validation tests
 # that cost nothing. `pytest tests/ -q` (everything) is the pre-snapshot
 # run. Measured on this 1-core box with a warm XLA compilation cache
-# (2026-08-20): fast set ~4 min, full suite ~75 min — the heavy cost is
+# (2026-08-21): fast set ~4 min, full suite ~65-70 min — the heavy cost is
 # jit compiles of pipeline/stream/spatial programs, one per (shape,
 # program) per PIPELINE INSTANCE, which is why the heavy modules also
 # share module-scoped pipelines (see test_pipeline.py).
